@@ -1,0 +1,233 @@
+"""TT orthogonalisation and rounding.
+
+Rounding is the single hottest primitive in the TT-IPM (called hundreds of
+times per interior-point iteration, SURVEY.md §3.2).  The scheme: a
+right-to-left QR sweep puts the train in right-orthogonal form, then a
+left-to-right SVD sweep truncates each bond against a per-bond error budget
+``eps / sqrt(d-1)``.
+
+Variants:
+  * ``tt_rank_reduce``      — plain rounding
+    (parity: /root/reference/cy_src/tt_ops_cy.pyx:180-226)
+  * ``tt_psd_rank_reduce``  — tracks the total discarded energy and adds
+    ``sqrt(sum eps_k^2) * I`` back so a PSD input stays PSD
+    (parity: cy_src/tt_ops_cy.pyx:262-325)
+  * ``tt_mask_rank_reduce`` — same compensation but along a mask TT, for
+    iterates supported on an inequality mask (cy_src/tt_ops_cy.pyx:329-388)
+
+Singular-value pruning keeps the smallest head such that the discarded
+tail energy stays below ``eps^2`` (cy_src/tt_ops_cy.pyx:162-177); the
+decision is made on the host from a tiny vector of singular values, while
+panel QR/SVD and the core recombinations run on device.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttipm_tpu import config
+from ttipm_tpu.ops.tt import TT, tt_add, tt_ranks, tt_swap_all
+
+__all__ = [
+    "prune_singular_vals",
+    "tt_rl_orthogonalise",
+    "tt_lr_orthogonalise",
+    "tt_rank_reduce",
+    "tt_psd_rank_reduce",
+    "tt_mask_rank_reduce",
+    "tt_rank_retraction",
+    "truncated_svd",
+    "add_kick_rank",
+    "add_kick_rank_rev",
+]
+
+
+def prune_singular_vals(s: np.ndarray, eps: float) -> int:
+    """Number of singular values to keep for tail energy < eps^2."""
+    s = np.asarray(s)
+    if np.linalg.norm(s) == 0.0:
+        return 1
+    tail = np.cumsum(np.abs(s[::-1]) ** 2)[::-1]
+    r = int(np.argmax(tail < eps**2))
+    r = max(r, 1)
+    if tail[-1] > eps**2:
+        r = s.size
+    return r
+
+
+def _qr_econ(mat: jax.Array):
+    return jnp.linalg.qr(mat, mode="reduced")
+
+
+def _svd_econ(mat: jax.Array):
+    return jnp.linalg.svd(mat, full_matrices=False)
+
+
+def tt_rl_orthogonalise(train_tt: TT) -> TT:
+    """Right-to-left QR sweep: all cores except the first become
+    right-orthogonal (cy_src/tt_ops_cy.pyx:132-159)."""
+    dim = len(train_tt)
+    if dim == 1:
+        return list(train_tt)
+    out = list(train_tt)
+    for i in range(dim - 1, 0, -1):
+        shape_i = out[i].shape
+        # QR of the transposed unfolding: rows = physical x right bond.
+        q, r = _qr_econ(out[i].reshape(shape_i[0], -1).T)
+        new_rank = r.shape[0]
+        out[i] = q.T.reshape(new_rank, *shape_i[1:])
+        prev = out[i - 1]
+        prev_shape = prev.shape
+        out[i - 1] = (prev.reshape(-1, shape_i[0]) @ r.T).reshape(
+            *prev_shape[:-1], new_rank
+        )
+    return out
+
+
+def tt_lr_orthogonalise(train_tt: TT) -> TT:
+    return tt_swap_all(tt_rl_orthogonalise(tt_swap_all(train_tt)))
+
+
+def _truncation_sweep(
+    train_tt: TT,
+    eps: float,
+    compensation: Optional[str] = None,
+) -> tuple[TT, float]:
+    """Left-to-right SVD truncation of an RL-orthogonal train.
+
+    Returns the rounded train and the total discarded energy (sum over
+    bonds of the squared norms of dropped singular values), which the
+    PSD/mask-compensated variants feed back as an identity/mask shift.
+    """
+    dim = len(train_tt)
+    out = list(train_tt)
+    rank = 1
+    discarded = 0.0
+    for idx in range(dim - 1):
+        shape = out[idx].shape
+        next_shape = out[idx + 1].shape
+        mat = out[idx].reshape(rank * int(np.prod(shape[1:-1])), -1)
+        u, s, v_t = _svd_econ(mat)
+        s_host = np.asarray(s)
+        tail = np.cumsum(np.abs(s_host[::-1]) ** 2)[::-1]
+        next_rank = int(np.argmax(tail < eps**2))
+        next_rank = max(next_rank, 1)
+        if tail[-1] > eps**2:
+            next_rank = s_host.size
+        if compensation is not None and next_rank < s_host.size:
+            discarded += float(tail[next_rank])
+        out[idx] = u[:, :next_rank].reshape(rank, *shape[1:-1], next_rank)
+        sv = s[:next_rank, None] * v_t[:next_rank, :]
+        out[idx + 1] = (sv @ out[idx + 1].reshape(next_shape[0], -1)).reshape(
+            next_rank, *next_shape[1:-1], -1
+        )
+        rank = next_rank
+    return out, discarded
+
+
+def tt_rank_reduce(train_tt: TT, eps: float = 1e-18) -> TT:
+    """Round a TT to the smallest ranks with total error <= eps."""
+    eps = config.clamp_eps(eps)
+    dim = len(train_tt)
+    ranks = [1] + tt_ranks(train_tt) + [1]
+    if dim == 1 or all(r == 1 for r in ranks):
+        return list(train_tt)
+    bond_eps = eps / np.sqrt(dim - 1)
+    out = tt_rl_orthogonalise(list(train_tt))
+    out, _ = _truncation_sweep(out, bond_eps)
+    return out
+
+
+def _compensated_rank_reduce(train_tt: TT, eps: float) -> tuple[TT, float]:
+    dim = len(train_tt)
+    ranks = [1] + tt_ranks(train_tt) + [1]
+    if dim == 1 or all(r == 1 for r in ranks):
+        return list(train_tt), 0.0
+    bond_eps = (eps / 2.0) / np.sqrt(dim - 1)
+    out = tt_rl_orthogonalise(list(train_tt))
+    out, discarded = _truncation_sweep(out, bond_eps, compensation="track")
+    factor = float(discarded) ** (1.0 / (2 * dim)) if discarded > 0 else 0.0
+    return out, factor
+
+
+def tt_psd_rank_reduce(train_tt: TT, eps: float = 1e-18) -> TT:
+    """PSD-preserving rounding: compensates the discarded energy with a
+    multiple of the identity (cy_src/tt_ops_cy.pyx:262-325)."""
+    eps = config.clamp_eps(eps)
+    out, factor = _compensated_rank_reduce(train_tt, eps)
+    if len(out) == 1 and factor == 0.0:
+        return out
+    n = out[0].shape[1]
+    eye_core = factor * jnp.eye(n, dtype=config.dtype()).reshape(1, n, n, 1)
+    return tt_add(out, [eye_core] * len(out))
+
+
+def tt_mask_rank_reduce(train_tt: TT, mask_tt: TT, eps: float = 1e-18) -> TT:
+    """Mask-preserving rounding: compensation along ``mask_tt`` instead of
+    the identity (cy_src/tt_ops_cy.pyx:329-388)."""
+    eps = config.clamp_eps(eps)
+    out, factor = _compensated_rank_reduce(train_tt, eps)
+    return tt_add(out, [factor * c for c in mask_tt])
+
+
+def tt_rank_retraction(train_tt: TT, upper_ranks: List[int]) -> TT:
+    """Truncate bond ranks to hard caps (src/tt_ops.py:132-152)."""
+    out = tt_rl_orthogonalise(list(train_tt))
+    rank = 1
+    for idx, upper in enumerate(upper_ranks):
+        shape = out[idx].shape
+        next_shape = out[idx + 1].shape
+        mat = out[idx].reshape(rank * int(np.prod(shape[1:-1])), -1)
+        u, s, v_t = _svd_econ(mat)
+        next_rank = min(int(upper), int(s.shape[0]))
+        next_rank = max(next_rank, 1)
+        out[idx] = u[:, :next_rank].reshape(rank, *shape[1:-1], next_rank)
+        sv = s[:next_rank, None] * v_t[:next_rank, :]
+        out[idx + 1] = (sv @ out[idx + 1].reshape(next_shape[0], -1)).reshape(
+            next_rank, *next_shape[1:-1], -1
+        )
+        rank = next_rank
+    return out
+
+
+def truncated_svd(mat: jax.Array, trunc_rank: int):
+    """Rank-``trunc_rank`` factors (U, S·Vt) of ``mat``
+    (src/tt_als.py:269-274)."""
+    u, s, v_t = _svd_econ(mat)
+    u = u[:, :trunc_rank]
+    sv = s[:trunc_rank, None] * v_t[:trunc_rank]
+    return u, sv
+
+
+def add_kick_rank(u: jax.Array, v: jax.Array, r_add: int = 2, rng=None):
+    """Append ``r_add`` random directions to U and re-orthogonalise;
+    rank-adaptive enrichment (cy_src/tt_ops_cy.pyx:559-578)."""
+    rng = rng or np.random
+    old_r = u.shape[1]
+    kick = jnp.asarray(rng.randn(u.shape[0], r_add), dtype=u.dtype)
+    q, r_mat = _qr_econ(jnp.concatenate((u, kick), axis=1))
+    v_new = r_mat[:, :old_r] @ v
+    return q, v_new, int(q.shape[1])
+
+
+def add_kick_rank_rev(u: jax.Array, v: jax.Array, r_add: int = 2, rng=None):
+    """Row-side enrichment via RQ (src/tt_als.py:1048-1053).
+
+    jax has no RQ; we realise it with QR on the reversed matrix:
+    RQ(A) == flip(QR(flip(A)^T)) up to the same factorisation identity.
+    """
+    rng = rng or np.random
+    old_r = v.shape[0]
+    kick = jnp.asarray(rng.randn(r_add, v.shape[-1]), dtype=v.dtype)
+    stacked = jnp.concatenate((v, kick), axis=0)
+    # RQ via QR of the anti-transpose: A = R Q with R upper-triangular.
+    a_rev = stacked[::-1, ::-1].T
+    q_r, r_r = _qr_econ(a_rev)
+    q_new = q_r.T[::-1, ::-1]
+    r_new = r_r.T[::-1, ::-1]
+    u_new = u @ r_new[:old_r]
+    return u_new, q_new, int(q_new.shape[0])
