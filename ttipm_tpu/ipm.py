@@ -1,0 +1,860 @@
+"""Primal-dual predictor-corrector interior-point method in TT format.
+
+Solves  min <C, X>  s.t.  L(X) = b,  X ⪰ 0  (optionally entrywise
+inequality constraints X >= -beta on a mask) with all iterates X, Y, Z, T
+held as tensor trains.  Each iteration assembles the block-TT Newton/KKT
+system, solves it with restarted block AMEn using the Schur local solvers,
+line-searches the PSD cone with the TT generalized eigensolver, and applies
+PSD-preserving rounding to the updated iterates.
+
+Parity map (reference /root/reference/src/tt_ipm.py):
+  * KKT assembly             — tt_infeasible_newton_system (:429-475)
+  * row equilibration        — _tt_kkt_row_scales/_tt_build_row_scaled_kkt
+                               (:510-568)
+  * predictor-corrector      — _tt_ipm_newton_step (:571-697), Mehrotra
+                               sigma = clip((mu_aff/mu)^e), e=max(1,3*min(a)^2)
+  * step sizes               — _tt_get_step_sizes (:700-779) with the
+                               fraction-to-boundary tau = 0.9+0.05*min(a)
+  * outer loop / state       — tt_ipm + IPMStatus (:796-1099): warm-up XZ
+                               direction then AHO, adaptive rounding budget
+                               eta, stall detection -> finishing phase,
+                               refinement countdown with boundary
+                               regularisation, inequality activation state
+                               machine.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Dict, Optional
+
+import numpy as np
+
+from ttipm_tpu.ops.tt import (
+    TT,
+    tt_add,
+    tt_entrywise_sum,
+    tt_identity,
+    tt_IkronM,
+    tt_inner_prod,
+    tt_MkronI,
+    tt_norm,
+    tt_one_matrix,
+    tt_ranks,
+    tt_reshape,
+    tt_scale,
+    tt_sub,
+    tt_transpose,
+    tt_zero_matrix,
+)
+from ttipm_tpu.ops.rounding import (
+    tt_mask_rank_reduce,
+    tt_psd_rank_reduce,
+    tt_rank_reduce,
+)
+from ttipm_tpu.ops.products import (
+    tt_fast_hadamard,
+    tt_fast_matrix_vec_mul,
+    tt_mat_mat_mul,
+    tt_mat_vec_mul,
+)
+from ttipm_tpu.ops.tt import tt_diag_op
+from ttipm_tpu.solvers.amen import (
+    AmenToleranceReached,
+    AmenRestartsExhausted,
+    tt_restarted_block_amen,
+)
+from ttipm_tpu.solvers.blocks import TTBlockMatrix, TTBlockVector, tt_get_block
+from ttipm_tpu.solvers.eigen import tt_max_generalised_eigen, tt_min_eig
+from ttipm_tpu.solvers.local_kkt import ipm_local_solver, ipm_local_solver_ineq
+
+__all__ = ["tt_ipm", "IPMStatus", "IneqStatus"]
+
+
+class IneqStatus(Enum):
+    """Inequality-constraint activation state machine
+    (src/tt_ipm.py:165-176)."""
+
+    ACTIVE = 0
+    SETTING_ACTIVE = 1
+    SETTING_INACTIVE = 2
+    INACTIVE = 3
+    NOT_IN_USE = 4
+
+    def __str__(self):
+        return self.name.lower().replace("_", " ")
+
+
+@dataclass
+class IPMStatus:
+    """Mutable solver state threaded through one IPM run
+    (src/tt_ipm.py:796-835)."""
+
+    dim: int
+    feasibility_tol: float
+    centrality_tol: float
+    op_tol: float
+    eps: float
+
+    aho_direction: bool
+    is_primal_feasible: bool
+    primal_error: float
+    is_dual_feasible: bool
+    dual_error: float
+    is_central: bool
+    centrality_error: float
+    mu: float
+
+    is_last_iter: bool
+    ineq_status: IneqStatus
+    verbose: bool
+
+    primal_error_normalisation: float
+    dual_error_normalisation: float
+    mals_rank_restriction: int
+
+    boundary_val: float = 1e-10
+    ineq_boundary_val: float = 0.01
+    sigma: float = 0.5
+    num_ineq_constraints: float = 0
+    lag_map_t: Optional[TT] = None
+    lag_map_y: Optional[TT] = None
+    compl_ineq_mask: Optional[TT] = None
+    mals_delta0: Optional[TT] = None
+    eigen_x0: Optional[TT] = None
+    eigen_z0: Optional[TT] = None
+    eigen_xt0: Optional[TT] = None
+    eigen_zt0: Optional[TT] = None
+    kkt_iterations: int = 7
+    centrl_error_normalisation: float = 1.0
+    eta: float = 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Residuals / KKT assembly
+# ---------------------------------------------------------------------------
+
+def tt_compute_primal_feasibility(lin_op_tt, bias_tt, X_tt, status):
+    """L(X) - b at the working rounding budget (src/tt_ipm.py:404-407)."""
+    budget = 0.01 * status.eta * status.primal_error_normalisation
+    return tt_rank_reduce(
+        tt_sub(
+            tt_mat_vec_mul(lin_op_tt, tt_reshape(X_tt, (4,)), budget, status.eps),
+            bias_tt,
+        ),
+        budget,
+    )
+
+
+def tt_compute_dual_feasibility(obj_tt, lin_op_tt_adj, Z_tt, Y_tt, T_tt, status):
+    """L^T(Y) - Z - C [- T] (src/tt_ipm.py:410-417)."""
+    budget = 0.01 * status.eta * status.dual_error_normalisation
+    inner_eps = (
+        status.eps if status.ineq_status is IneqStatus.ACTIVE else budget
+    )
+    dual_feas = tt_rank_reduce(
+        tt_sub(
+            tt_fast_matrix_vec_mul(lin_op_tt_adj, Y_tt, status.eps),
+            tt_rank_reduce(tt_add(tt_reshape(Z_tt, (4,)), obj_tt), status.eps),
+        ),
+        inner_eps,
+    )
+    if status.ineq_status is IneqStatus.ACTIVE and T_tt is not None:
+        dual_feas = tt_rank_reduce(
+            tt_sub(dual_feas, tt_reshape(T_tt, (4,))), budget
+        )
+    return dual_feas
+
+
+def _tt_symmetrise(matrix_tt, err_bound):
+    return tt_rank_reduce(
+        tt_scale(0.5, tt_add(matrix_tt, tt_transpose(matrix_tt))), eps=err_bound
+    )
+
+
+def _tt_psd_symmetrise(matrix_tt, err_bound):
+    return tt_psd_rank_reduce(
+        tt_scale(0.5, tt_add(matrix_tt, tt_transpose(matrix_tt))), eps=err_bound
+    )
+
+
+def _tt_mask_symmetrise(matrix_tt, mask_tt, err_bound):
+    return tt_mask_rank_reduce(
+        tt_scale(0.5, tt_add(matrix_tt, tt_transpose(matrix_tt))), mask_tt,
+        eps=err_bound,
+    )
+
+
+def tt_compute_centrality(X_tt, Z_tt, status):
+    """-(XZ) (symmetrised under AHO) as a vec'd TT
+    (src/tt_ipm.py:420-426)."""
+    budget = 0.01 * status.eta * status.centrl_error_normalisation
+    if status.aho_direction:
+        return tt_reshape(
+            tt_scale(
+                -1,
+                _tt_symmetrise(
+                    tt_mat_mat_mul(X_tt, Z_tt, budget, status.eps), budget
+                ),
+            ),
+            (4,),
+        )
+    return tt_reshape(
+        tt_scale(-1, tt_mat_mat_mul(Z_tt, X_tt, budget, status.eps)), (4,)
+    )
+
+
+def tt_infeasible_newton_system(
+    lhs, obj_tt, X_tt, Y_tt, Z_tt, T_tt, lin_op_tt, lin_op_tt_adj, bias_tt,
+    ineq_mask, status,
+):
+    """Assemble the per-iteration KKT blocks and right-hand side
+    (src/tt_ipm.py:429-475)."""
+    rhs = TTBlockVector()
+
+    primal_feas = tt_compute_primal_feasibility(lin_op_tt, bias_tt, X_tt, status)
+    status.primal_error = tt_norm(primal_feas) / status.primal_error_normalisation
+    status.is_primal_feasible = status.primal_error < status.feasibility_tol
+
+    dual_feas = tt_compute_dual_feasibility(obj_tt, lin_op_tt_adj, Z_tt, Y_tt, T_tt, status)
+    status.dual_error = tt_norm(dual_feas) / status.dual_error_normalisation
+    status.is_dual_feasible = status.dual_error < (
+        (1 + (status.ineq_status is IneqStatus.ACTIVE)) * status.feasibility_tol
+    )
+
+    status.is_last_iter = status.is_last_iter or (
+        status.is_primal_feasible and status.is_dual_feasible and status.is_central
+    )
+
+    dual_budget = 0.1 * status.eta * status.dual_error_normalisation
+    primal_budget = 0.1 * status.eta * status.primal_error_normalisation
+    if status.aho_direction:
+        lhs[2, 1] = tt_psd_rank_reduce(
+            tt_scale(0.5, tt_add(tt_IkronM(Z_tt), tt_MkronI(Z_tt))), eps=dual_budget
+        )
+        lhs[2, 2] = tt_psd_rank_reduce(
+            tt_scale(0.5, tt_add(tt_MkronI(X_tt), tt_IkronM(X_tt))), eps=primal_budget
+        )
+    else:
+        lhs[2, 1] = tt_psd_rank_reduce(tt_MkronI(Z_tt), eps=dual_budget)
+        lhs[2, 2] = tt_psd_rank_reduce(tt_IkronM(X_tt), eps=primal_budget)
+
+    if not status.is_primal_feasible or status.is_last_iter:
+        rhs[0] = primal_feas
+    if not status.is_dual_feasible or status.is_last_iter:
+        rhs[1] = dual_feas
+    if not status.is_central or status.is_last_iter:
+        rhs[2] = tt_compute_centrality(X_tt, Z_tt, status)
+
+    if status.ineq_status is IneqStatus.ACTIVE:
+        lhs[3, 1] = tt_diag_op(T_tt, dual_budget)
+        masked_X_tt = tt_rank_reduce(
+            tt_add(
+                tt_scale(status.ineq_boundary_val, ineq_mask),
+                tt_fast_hadamard(ineq_mask, X_tt, status.eps),
+            ),
+            eps=status.eps,
+        )
+        lhs[3, 3] = tt_rank_reduce(
+            tt_add(status.lag_map_t, tt_diag_op(masked_X_tt, status.eps)),
+            eps=dual_budget,
+        )
+        if not status.is_central or status.is_last_iter:
+            rhs[3] = tt_rank_reduce(
+                tt_reshape(
+                    tt_scale(-1, tt_fast_hadamard(masked_X_tt, T_tt, status.eps)),
+                    (4,),
+                ),
+                eps=0.01 * status.eta * status.centrl_error_normalisation,
+            )
+    return lhs, rhs, status
+
+
+# ---------------------------------------------------------------------------
+# KKT row equilibration (src/tt_ipm.py:502-568)
+# ---------------------------------------------------------------------------
+
+def _tt_rhs_row_norm(rhs_vec_tt, row):
+    r = rhs_vec_tt.get_row(row)
+    if r is None:
+        return 0.0
+    n = tt_norm(r)
+    return float(n) if np.isfinite(n) else 0.0
+
+
+def _tt_kkt_row_scales(rhs_vec_tt, status) -> Dict[int, float]:
+    eps = max(status.op_tol, 1e-12)
+    feas_norm = max(_tt_rhs_row_norm(rhs_vec_tt, 0), _tt_rhs_row_norm(rhs_vec_tt, 1))
+    cent_norm = max(_tt_rhs_row_norm(rhs_vec_tt, 2), _tt_rhs_row_norm(rhs_vec_tt, 3))
+    scales: Dict[int, float] = {}
+    if feas_norm > eps:
+        s = float(np.clip(1.0 / max(feas_norm, eps), 1e-6, 1e6))
+        scales[0] = s
+        scales[1] = s
+    if cent_norm > eps:
+        s = float(np.clip(1.0 / max(cent_norm, eps), 1e-6, 1e6))
+        if 0 in scales:
+            s = min(s, scales[0])  # feasibility stays at least as important
+        scales[2] = s
+        scales[3] = s
+    return scales
+
+
+def _tt_effective_row_scale(lhs, key, row_scales):
+    scale = row_scales.get(key[0], 1.0)
+    if key in lhs._transposes:
+        coupled, _ = lhs._transposes[key]
+        if coupled in row_scales:
+            scale = np.sqrt(scale * row_scales[coupled])
+    if key in lhs._aliases:
+        coupled, _ = lhs._aliases[key]
+        if coupled in row_scales:
+            scale = np.sqrt(scale * row_scales[coupled])
+    return float(scale)
+
+
+def _tt_build_row_scaled_kkt(lhs, rhs, status, row_scales=None):
+    if row_scales is None:
+        row_scales = _tt_kkt_row_scales(rhs, status)
+    if not row_scales:
+        return lhs, rhs
+    lhs_scaled = TTBlockMatrix()
+    lhs_scaled._aliases = dict(lhs._aliases)
+    lhs_scaled._transposes = dict(lhs._transposes)
+    for key, block in lhs._data.items():
+        s = _tt_effective_row_scale(lhs, key, row_scales)
+        lhs_scaled[key] = block if np.isclose(s, 1.0) else tt_scale(s, block)
+    rhs_scaled = TTBlockVector()
+    for row in rhs.keys():
+        s = row_scales.get(row, 1.0)
+        row_tt = rhs.get_row(row)
+        rhs_scaled[row] = row_tt if np.isclose(s, 1.0) else tt_scale(s, row_tt)
+    return lhs_scaled, rhs_scaled
+
+
+# ---------------------------------------------------------------------------
+# Newton step (predictor + Mehrotra centering-corrector)
+# ---------------------------------------------------------------------------
+
+def _tt_ipm_newton_step(
+    lhs_matrix_tt, rhs_vec_tt, ineq_mask, X_tt, Z_tt, T_tt, ZX, TX, status, solver,
+):
+    """src/tt_ipm.py:571-697."""
+    try:
+        row_scales = _tt_kkt_row_scales(rhs_vec_tt, status)
+        lhs_p, rhs_p = _tt_build_row_scaled_kkt(lhs_matrix_tt, rhs_vec_tt, status, row_scales)
+        Delta_tt, _ = solver(
+            lhs_p, rhs_p, status.mals_delta0,
+            status.kkt_iterations + status.is_last_iter,
+            status.mals_rank_restriction, status.eta,
+        )
+        status.mals_delta0 = Delta_tt
+        Delta_X_tt = _tt_symmetrise(tt_reshape(tt_get_block(1, Delta_tt), (2, 2)), status.eps)
+        Delta_Z_tt = _tt_symmetrise(tt_reshape(tt_get_block(2, Delta_tt), (2, 2)), status.eps)
+        Delta_Y_tt = tt_rank_reduce(tt_get_block(0, Delta_tt), eps=status.eps)
+        Delta_T_tt = None
+        if status.ineq_status is IneqStatus.ACTIVE:
+            Delta_T_tt = tt_rank_reduce(tt_get_block(3, Delta_tt), eps=status.eps)
+            Delta_T_tt = tt_fast_hadamard(
+                ineq_mask, tt_reshape(Delta_T_tt, (2, 2)), status.eps
+            )
+
+        x_step, z_step = _tt_get_step_sizes(
+            X_tt, Z_tt, T_tt, Delta_X_tt, Delta_Z_tt, Delta_T_tt, ineq_mask, status
+        )
+
+        if not status.is_central and not status.is_last_iter:
+            DXZ = tt_inner_prod(Delta_X_tt, Delta_Z_tt)
+            if status.ineq_status is IneqStatus.ACTIVE:
+                mu_aff = (
+                    ZX + x_step * z_step * DXZ
+                    + z_step * tt_inner_prod(X_tt, Delta_Z_tt)
+                    + x_step * tt_inner_prod(Delta_X_tt, Z_tt)
+                    + TX + x_step * z_step * tt_inner_prod(Delta_T_tt, Delta_X_tt)
+                    + z_step * (
+                        tt_inner_prod(X_tt, Delta_T_tt)
+                        + status.ineq_boundary_val * tt_entrywise_sum(Delta_T_tt)
+                    )
+                    + x_step * tt_inner_prod(Delta_X_tt, T_tt)
+                )
+                e = max(1, 3 * min(x_step, z_step) ** 2)
+                status.sigma = min(0.99, max(mu_aff / (ZX + TX), 0) ** e)
+                if status.sigma > 1e-4:
+                    rhs_vec_tt[3] = tt_rank_reduce(
+                        tt_add(
+                            tt_scale(status.sigma * status.mu, tt_reshape(ineq_mask, (4,))),
+                            rhs_vec_tt.get_row(3),
+                        ),
+                        0.1 * status.eta * status.centrl_error_normalisation,
+                    )
+            else:
+                mu_aff = (
+                    ZX + x_step * z_step * DXZ
+                    + z_step * tt_inner_prod(X_tt, Delta_Z_tt)
+                    + x_step * tt_inner_prod(Delta_X_tt, Z_tt)
+                )
+                e = max(1, 3 * min(x_step, z_step) ** 2)
+                status.sigma = min(0.99, max(mu_aff / ZX, 0) ** e)
+
+            cent_budget = 0.1 * status.eta * status.centrl_error_normalisation
+            if DXZ > 0.1 * status.centrality_tol:
+                Delta_XZ_term = tt_compute_centrality(Delta_X_tt, Delta_Z_tt, status)
+                if status.sigma > 1e-4:
+                    rhs_vec_tt[2] = tt_rank_reduce(
+                        tt_add(
+                            tt_scale(
+                                status.sigma * status.mu,
+                                tt_reshape(tt_identity(len(X_tt)), (4,)),
+                            ),
+                            tt_add(rhs_vec_tt.get_row(2), Delta_XZ_term),
+                        ),
+                        cent_budget,
+                    )
+                else:
+                    rhs_vec_tt[2] = tt_rank_reduce(
+                        tt_add(rhs_vec_tt.get_row(2), Delta_XZ_term), cent_budget
+                    )
+            elif status.sigma > 1e-4:
+                rhs_vec_tt[2] = tt_rank_reduce(
+                    tt_add(
+                        tt_scale(
+                            status.sigma * status.mu,
+                            tt_reshape(tt_identity(len(X_tt)), (4,)),
+                        ),
+                        rhs_vec_tt.get_row(2),
+                    ),
+                    cent_budget,
+                )
+
+            lhs_cc, rhs_cc = _tt_build_row_scaled_kkt(
+                lhs_matrix_tt, rhs_vec_tt, status, row_scales
+            )
+            Delta_tt_cc, _ = solver(
+                lhs_cc, rhs_cc, status.mals_delta0,
+                status.kkt_iterations + status.is_last_iter,
+                status.mals_rank_restriction, status.eta,
+            )
+            status.mals_delta0 = Delta_tt_cc
+            Delta_X_cc = _tt_symmetrise(
+                tt_reshape(tt_get_block(1, Delta_tt_cc), (2, 2)), status.eps
+            )
+            Delta_Z_cc = _tt_symmetrise(
+                tt_reshape(tt_get_block(2, Delta_tt_cc), (2, 2)), status.eps
+            )
+            Delta_Y_cc = tt_rank_reduce(tt_get_block(0, Delta_tt_cc), eps=status.eps)
+            Delta_X_tt = tt_rank_reduce(tt_add(Delta_X_cc, Delta_X_tt), eps=status.eps)
+            Delta_Y_tt = tt_rank_reduce(tt_add(Delta_Y_cc, Delta_Y_tt), eps=status.eps)
+            Delta_Z_tt = tt_rank_reduce(tt_add(Delta_Z_cc, Delta_Z_tt), eps=status.eps)
+            if status.ineq_status is IneqStatus.ACTIVE:
+                Delta_T_cc = tt_rank_reduce(tt_get_block(3, Delta_tt_cc), eps=status.eps)
+                Delta_T_cc = tt_fast_hadamard(
+                    ineq_mask, tt_reshape(Delta_T_cc, (2, 2)), status.eps
+                )
+                Delta_T_tt = tt_rank_reduce(tt_add(Delta_T_cc, Delta_T_tt), eps=status.eps)
+
+            x_step, z_step = _tt_get_step_sizes(
+                X_tt, Z_tt, T_tt, Delta_X_tt, Delta_Z_tt, Delta_T_tt, ineq_mask, status
+            )
+        else:
+            status.sigma = 0
+    except Exception as e:
+        # Total-function recovery (parity :691-695): AmenToleranceReached,
+        # AmenRestartsExhausted and numerical failures all route the outer
+        # loop into its PSD-boundary / finishing branch.
+        print(f"\n\tAttention: {e}")
+        traceback.print_exc(file=sys.stdout)
+        return 0, 0, None, None, None, None, status
+
+    return x_step, z_step, Delta_X_tt, Delta_Y_tt, Delta_Z_tt, Delta_T_tt, status
+
+
+# ---------------------------------------------------------------------------
+# Step sizes (src/tt_ipm.py:700-779)
+# ---------------------------------------------------------------------------
+
+def _tt_get_step_sizes(
+    X_tt, Z_tt, T_tt, Delta_X_tt, Delta_Z_tt, Delta_T_tt, ineq_mask, status
+):
+    if status.is_last_iter:
+        X_tt = tt_add(X_tt, tt_scale(status.boundary_val, tt_identity(len(X_tt))))
+        Z_tt = tt_add(Z_tt, tt_scale(status.boundary_val, tt_identity(len(Z_tt))))
+
+    x_step, status.eigen_x0 = tt_max_generalised_eigen(
+        X_tt, Delta_X_tt, x0=status.eigen_x0, tol=1e-8, verbose=status.verbose
+    )
+    z_step, status.eigen_z0 = tt_max_generalised_eigen(
+        Z_tt, Delta_Z_tt, x0=status.eigen_z0, tol=1e-8, verbose=status.verbose
+    )
+    if status.ineq_status is not IneqStatus.NOT_IN_USE:
+        if status.is_last_iter:
+            X_tt = tt_add(
+                X_tt,
+                tt_scale(status.ineq_boundary_val + status.boundary_val, ineq_mask),
+            )
+            T_tt = tt_add(
+                T_tt,
+                tt_scale(status.ineq_boundary_val + status.boundary_val, ineq_mask),
+            )
+        x_step, z_step = _tt_get_ineq_step_sizes(
+            x_step, z_step, X_tt, T_tt, Delta_X_tt, Delta_T_tt, ineq_mask, status
+        )
+    tau = 0.9 + 0.05 * min(x_step, z_step)
+    if status.verbose:
+        print(f"Step sizes: a_p:{x_step:.2e}, a_d:{z_step:.2e}", flush=True)
+    return tau * x_step, tau * z_step
+
+
+def _ineq_step_size(A_tt, Delta_tt, e_tt, status):
+    """Largest step keeping the masked entries above the barrier, found by
+    a min-eig sweep over Diag(A + Delta) with an eigvector localisation
+    trick (src/tt_ipm.py:730-747)."""
+    sum_tt = tt_add(A_tt, Delta_tt)
+    if status.compl_ineq_mask:
+        sum_tt = tt_add(sum_tt, status.compl_ineq_mask)
+    sum_tt = tt_rank_reduce(sum_tt, status.eps)
+    e_tt, _ = tt_min_eig(
+        tt_diag_op(sum_tt, status.eps), x0=e_tt, tol=1e-8, verbose=status.verbose
+    )
+    e_sq = tt_reshape(e_tt, (2, 2))
+    if abs(tt_inner_prod(sum_tt, e_sq)) > status.eps:
+        from ttipm_tpu.ops.tt import tt_normalise
+
+        e_sq = tt_normalise(tt_fast_hadamard(e_sq, e_sq, status.eps))
+        min_A_val = abs(tt_inner_prod(A_tt, e_sq))
+        min_Delta_val = tt_inner_prod(Delta_tt, e_sq)
+        if min_Delta_val >= -status.eps:
+            step = 1.0
+        else:
+            step = float(np.clip(-min_A_val / min_Delta_val, 0, 1))
+    else:  # minimum sits on a padded (off-mask) entry
+        step = 1.0
+    return step, e_tt
+
+
+def _tt_get_ineq_step_sizes(
+    x_step, z_step, X_tt, T_tt, Delta_X_tt, Delta_T_tt, ineq_mask, status
+):
+    if x_step > 0:
+        masked_X = tt_fast_hadamard(ineq_mask, X_tt, status.eps)
+        masked_DX = tt_fast_hadamard(ineq_mask, Delta_X_tt, status.eps)
+        x_ineq_step, status.eigen_xt0 = _ineq_step_size(
+            tt_add(masked_X, tt_scale(status.ineq_boundary_val, ineq_mask)),
+            tt_scale(x_step, masked_DX),
+            status.eigen_xt0,
+            status,
+        )
+        if not status.is_last_iter:
+            if 1 - x_ineq_step < status.op_tol and tt_norm(T_tt) < status.op_tol:
+                if status.ineq_status is IneqStatus.ACTIVE:
+                    status.ineq_status = IneqStatus.SETTING_INACTIVE
+            else:
+                if status.ineq_status is IneqStatus.INACTIVE:
+                    status.ineq_status = IneqStatus.SETTING_ACTIVE
+        x_step *= x_ineq_step
+
+    if z_step > 0 and status.ineq_status is IneqStatus.ACTIVE:
+        t_step, status.eigen_zt0 = _ineq_step_size(
+            T_tt, tt_scale(z_step, Delta_T_tt), status.eigen_zt0, status
+        )
+        z_step *= t_step
+    return x_step, z_step
+
+
+# ---------------------------------------------------------------------------
+# Outer loop
+# ---------------------------------------------------------------------------
+
+def _initialise(ineq_mask, status, dim, lambdaStar, lambdaStarIneq):
+    """X = Z = lambda* I (plus a mask shift keeping X PSD when inequalities
+    are active); Y = 0 (src/tt_ipm.py:782-794)."""
+    X_tt = tt_scale(lambdaStar, tt_identity(dim))
+    Z_tt = tt_scale(lambdaStar, tt_identity(dim))
+    Y_tt = tt_reshape(tt_zero_matrix(dim), (4,))
+    T_tt = None
+    if status.ineq_status is IneqStatus.ACTIVE:
+        T_tt = tt_scale(lambdaStarIneq, ineq_mask)
+        x_step, _ = tt_max_generalised_eigen(
+            X_tt, ineq_mask, tol=1e-7, verbose=status.verbose
+        )
+        X_tt = tt_rank_reduce(
+            tt_add(X_tt, tt_scale(0.1 * x_step, ineq_mask)),
+            0.1 * status.eta * status.primal_error_normalisation,
+        )
+    return X_tt, Y_tt, Z_tt, T_tt
+
+
+def _ipm_check_for_stalled_progress(prev_errors, status, gap_tol):
+    if status.is_last_iter:
+        return False
+    primal = abs(prev_errors["primal"] - status.primal_error) < 0.04 * gap_tol
+    dual = abs(prev_errors["dual"] - status.dual_error) < 0.04 * gap_tol
+    central = abs(prev_errors["centrality"] - status.centrality_error) < 0.02 * gap_tol
+    return primal and dual and central
+
+
+def _ipm_check_convergence(status, finishing_steps, ZX, TX, abs_tol, max_refinement):
+    if not status.is_last_iter:
+        return status, finishing_steps
+    converged = (
+        abs(ZX) + abs(TX) < abs_tol
+        and status.primal_error < abs_tol
+        and status.dual_error < abs_tol
+    )
+    if converged:
+        finishing_steps = 0
+    else:
+        finishing_steps -= 1
+        status.boundary_val = 0.001 * (1 - (finishing_steps / max_refinement))
+        if finishing_steps == 1:
+            status.kkt_iterations += 1
+    return status, finishing_steps
+
+
+def _ipm_format_output(X_tt, Y_tt, T_tt, Z_tt, iteration, status):
+    ranksX = tt_ranks(X_tt)
+    ranksZ = tt_ranks(Z_tt)
+    ranksY = tt_ranks(Y_tt)
+    ranksT = tt_ranks(T_tt) if T_tt else [0] * (status.dim - 1)
+    results = {
+        "num_iters": iteration,
+        "ranksX": ranksX,
+        "ranksY": ranksY,
+        "ranksZ": ranksZ,
+        "ranksT": ranksT,
+        "status": status,
+    }
+    return X_tt, Y_tt, T_tt, Z_tt, results
+
+
+def _ipm_log_iteration(iteration, status, X_tt, Y_tt, Z_tt, T_tt):
+    print(f"\n--- Iteration {iteration - 1} ---")
+    print(f"Status: Finishing up={status.is_last_iter}, Ineq={status.ineq_status}")
+    print(
+        f"Feasibility: Central={status.is_central}, "
+        f"Primal={status.is_primal_feasible}, Dual={status.is_dual_feasible}"
+    )
+    print(f"Direction: {'AHO' if status.aho_direction else 'XZ'}, Sigma: {status.sigma:.2e}")
+    print(
+        f"Errors: Centrality={status.centrality_error:.4e}, "
+        f"Primal={status.primal_error:.4e}, Dual={status.dual_error:.4e}"
+    )
+    print(
+        f"Ranks: X={tt_ranks(X_tt)}, Z={tt_ranks(Z_tt)}, Y={tt_ranks(Y_tt)}, "
+        f"T={tt_ranks(T_tt) if T_tt else 'N/A'}",
+        flush=True,
+    )
+
+
+def tt_ipm(
+    lag_maps,
+    obj_tt,
+    lin_op_tt,
+    bias_tt,
+    ineq_mask=None,
+    max_iter=100,
+    max_refinement=5,
+    warm_up=3,
+    gap_tol=1e-4,
+    aho_direction=True,
+    op_tol=1e-5,
+    abs_tol=8e-4,
+    eps=1e-12,
+    mals_restarts=3,
+    r_max=1000,
+    lambdaStar=1,
+    lambdaStarIneq=1,
+    verbose=False,
+):
+    """TT interior-point driver (src/tt_ipm.py:901-1099).
+
+    Returns ``(X_tt, Y_tt, T_tt, Z_tt, results)`` with results carrying the
+    iteration count, final TT ranks and the final ``IPMStatus``.
+    """
+    dim = len(obj_tt)
+    centrality_tol = gap_tol / np.sqrt(dim)
+    feasibility_tol = 2 * gap_tol
+    status = IPMStatus(
+        dim, feasibility_tol, centrality_tol, op_tol, eps,
+        aho_direction, False, np.inf, False, np.inf, False, np.inf, np.inf,
+        False,
+        IneqStatus.NOT_IN_USE if ineq_mask is None else IneqStatus.ACTIVE,
+        verbose, 1, 1, r_max,
+    )
+    lag_maps = {k: tt_rank_reduce(v, eps=eps) for k, v in lag_maps.items()}
+    obj_tt = tt_rank_reduce(obj_tt, eps=eps)
+    lin_op_tt = tt_rank_reduce(lin_op_tt, eps=eps)
+    bias_tt = tt_rank_reduce(bias_tt, eps=eps)
+
+    status.primal_error_normalisation = 1 + tt_norm(bias_tt)
+    status.dual_error_normalisation = 1 + tt_norm(obj_tt)
+
+    lhs_skeleton = TTBlockMatrix()
+    lhs_skeleton[1, 2] = tt_reshape(tt_identity(2 * dim), (4, 4))
+
+    def make_solver(local):
+        def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
+            return tt_restarted_block_amen(
+                lhs, rhs,
+                rank_restriction=restriction,
+                x0=x0,
+                local_solver=local,
+                op_tol=op_tol,
+                termination_tol=termination_tol,
+                num_restarts=mals_restarts,
+                inner_m=nwsp,
+                verbose=verbose,
+            )
+        return solver
+
+    solver_eq = make_solver(ipm_local_solver)
+    solver_ineq = make_solver(ipm_local_solver_ineq)
+
+    if status.ineq_status is IneqStatus.ACTIVE:
+        solver = solver_ineq
+        status.num_ineq_constraints = tt_inner_prod(ineq_mask, ineq_mask)
+        status.compl_ineq_mask = tt_rank_reduce(
+            tt_sub(tt_one_matrix(dim), ineq_mask), eps=eps
+        )
+        status.lag_map_t = lag_maps["t"]
+        lhs_skeleton.add_alias((1, 2), (1, 3))
+    else:
+        solver = solver_eq
+        status.num_ineq_constraints = 0
+
+    lin_op_tt_adj = tt_transpose(lin_op_tt)
+    lhs_skeleton[0, 1] = tt_scale(-1, lin_op_tt)
+    lhs_skeleton.add_alias((0, 1), (1, 0), is_transpose=True)
+    lhs_skeleton[0, 0] = lag_maps["y"]
+    status.lag_map_y = lag_maps["y"]
+
+    X_tt, Y_tt, Z_tt, T_tt = _initialise(ineq_mask, status, dim, lambdaStar, lambdaStarIneq)
+
+    iteration = 0
+    finishing_steps = max_refinement
+    prev_errors = {"primal": np.inf, "dual": np.inf, "centrality": np.inf}
+    lhs = lhs_skeleton
+
+    while finishing_steps > 0:
+        iteration += 1
+        status.aho_direction = iteration > warm_up
+        if max_iter - max_refinement == iteration - 1 and not status.is_last_iter:
+            if verbose:
+                print("=== maximum iterations reached: entering finishing phase ===")
+            status.is_last_iter = True
+        ZX = tt_inner_prod(Z_tt, X_tt)
+        TX = (
+            tt_inner_prod(X_tt, T_tt)
+            + status.ineq_boundary_val * tt_entrywise_sum(T_tt)
+            if status.ineq_status is IneqStatus.ACTIVE
+            else 0
+        )
+        status.mu = (abs(ZX) + abs(TX)) / (
+            2**dim
+            + (status.ineq_status is IneqStatus.ACTIVE) * status.num_ineq_constraints
+        )
+        status.centrl_error_normalisation = 1 + abs(
+            tt_inner_prod(obj_tt, tt_reshape(X_tt, (4,)))
+        )
+        status.centrality_error = status.mu / status.centrl_error_normalisation
+        status.is_central = status.centrality_error < centrality_tol
+        status.eta = max(min(status.eta, 2 * status.mu), status.op_tol)
+
+        lhs_matrix_tt, rhs_vec_tt, status = tt_infeasible_newton_system(
+            lhs, obj_tt, X_tt, Y_tt, Z_tt, T_tt, lin_op_tt, lin_op_tt_adj,
+            bias_tt, ineq_mask, status,
+        )
+
+        if verbose:
+            _ipm_log_iteration(iteration, status, X_tt, Y_tt, Z_tt, T_tt)
+
+        status, finishing_steps = _ipm_check_convergence(
+            status, finishing_steps, ZX, TX, abs_tol, max_refinement
+        )
+        if finishing_steps == 0:
+            iteration -= 1
+            break
+
+        x_step, z_step, Delta_X_tt, Delta_Y_tt, Delta_Z_tt, Delta_T_tt, status = (
+            _tt_ipm_newton_step(
+                lhs_matrix_tt, rhs_vec_tt, ineq_mask, X_tt, Z_tt, T_tt, ZX, TX,
+                status, solver,
+            )
+        )
+
+        if (Delta_X_tt is None and Delta_Z_tt is None) or (
+            x_step < 1e-5 and z_step < 1e-5
+        ):
+            if status.is_last_iter:
+                break
+            if verbose:
+                print("=== hit PSD boundary: entering finishing phase ===")
+            status.is_last_iter = True
+        else:
+            primal_budget = 0.1 * status.eta * status.primal_error_normalisation
+            dual_budget = 0.1 * status.eta * status.dual_error_normalisation
+            if finishing_steps <= 1:
+                X_tt = _tt_symmetrise(
+                    tt_add(X_tt, tt_scale(x_step, Delta_X_tt)), primal_budget
+                )
+                Z_tt = _tt_symmetrise(
+                    tt_add(Z_tt, tt_scale(z_step, Delta_Z_tt)), dual_budget
+                )
+            else:
+                X_tt = _tt_psd_symmetrise(
+                    tt_add(X_tt, tt_scale(x_step, Delta_X_tt)), primal_budget
+                )
+                Z_tt = _tt_psd_symmetrise(
+                    tt_add(Z_tt, tt_scale(z_step, Delta_Z_tt)), dual_budget
+                )
+
+            Y_tt = tt_rank_reduce(tt_add(Y_tt, tt_scale(z_step, Delta_Y_tt)), status.eps)
+            Y_tt = tt_reshape(
+                _tt_symmetrise(
+                    tt_reshape(
+                        tt_sub(
+                            Y_tt,
+                            tt_fast_matrix_vec_mul(status.lag_map_y, Y_tt, status.eps),
+                        ),
+                        (2, 2),
+                    ),
+                    dual_budget,
+                ),
+                (4,),
+            )
+
+            if status.ineq_status is IneqStatus.ACTIVE:
+                if finishing_steps <= 1:
+                    T_tt = _tt_symmetrise(
+                        tt_add(T_tt, tt_scale(z_step, Delta_T_tt)), dual_budget
+                    )
+                else:
+                    T_tt = _tt_mask_symmetrise(
+                        tt_add(T_tt, tt_scale(z_step, Delta_T_tt)), ineq_mask,
+                        dual_budget,
+                    )
+            elif status.ineq_status is IneqStatus.SETTING_INACTIVE:
+                solver = solver_eq
+                lhs = lhs_skeleton.get_submatrix(2, 2)
+                status.mals_delta0 = None
+                status.ineq_status = IneqStatus.INACTIVE
+            elif status.ineq_status is IneqStatus.SETTING_ACTIVE:
+                solver = solver_ineq
+                lhs = lhs_skeleton
+                status.mals_delta0 = None
+                status.ineq_status = IneqStatus.ACTIVE
+
+        if _ipm_check_for_stalled_progress(prev_errors, status, gap_tol):
+            if verbose:
+                print("=== progress stalled: entering finishing phase ===")
+            status.is_last_iter = True
+
+        prev_errors["primal"] = status.primal_error
+        prev_errors["dual"] = status.dual_error
+        prev_errors["centrality"] = status.centrality_error
+
+    if verbose:
+        print(f"--- terminated after {iteration} iterations ---")
+    return _ipm_format_output(X_tt, Y_tt, T_tt, Z_tt, iteration, status)

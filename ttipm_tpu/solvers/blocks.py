@@ -1,0 +1,316 @@
+"""Sparse block containers for TT operator equations.
+
+``TTBlockMatrix`` stores a dict of TT operators keyed by (row, col) block
+position with two kinds of structural sharing: *aliases* (block (k,t) is
+the same TT as (i,j)) and *transposes* (block (k,t) is the TT transpose of
+(i,j)) — the KKT system stores its (0,1)/(1,0) pair only once.
+
+``TTBlockVector`` is the dict-of-rows right-hand side.
+
+Parity: /root/reference/src/tt_als.py:16-250.  The per-core local products
+(`block_local_product` and the compressed AMEn variants) are the einsum
+pipelines of src/tt_als.py:190-238; each is one fused contraction per
+block key — the shapes are small-matmul chains that XLA maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttipm_tpu import config
+from ttipm_tpu.ops.rounding import tt_rank_reduce
+from ttipm_tpu.ops.tt import TT, tt_add, tt_inner_prod, tt_scale, tt_sub, tt_transpose
+
+__all__ = ["TTBlockVector", "TTBlockMatrix", "tt_get_block"]
+
+
+def tt_get_block(i: int, block_train_tt: TT) -> TT:
+    """Extract block ``i`` from a block TT solution (the core carrying the
+    extra block axis is sliced; src/tt_als.py:12-14)."""
+    b = int(np.argmax([c.ndim for c in block_train_tt]))
+    return block_train_tt[:b] + [block_train_tt[b][:, i]] + block_train_tt[b + 1:]
+
+
+class TTBlockVector:
+    """Dict of row-index -> TT vector."""
+
+    def __init__(self):
+        self._data: Dict[int, TT] = {}
+
+    def __setitem__(self, index: int, value: TT):
+        if not isinstance(value, list):
+            raise ValueError("each block row must be a TT (list of cores)")
+        self._data[index] = value
+
+    def get_row(self, index: int):
+        return self._data.get(index, None)
+
+    def __getitem__(self, core_index: int) -> "TTBlockVectorView":
+        return TTBlockVectorView(self._data, core_index)
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def __contains__(self, index: int):
+        return index in self._data
+
+    def keys(self):
+        return self._data.keys()
+
+    def values(self):
+        return self._data.values()
+
+    def items(self):
+        return self._data.items()
+
+    @property
+    def norm(self) -> float:
+        return float(np.sqrt(sum(tt_inner_prod(v, v) for v in self._data.values())))
+
+    def __sub__(self, other: "TTBlockVector") -> "TTBlockVector":
+        out = TTBlockVector()
+        for i in self._data:
+            out[i] = tt_rank_reduce(tt_sub(self.get_row(i), other.get_row(i)), 1e-12)
+        return out
+
+    def scale(self, s: float):
+        self._data = {
+            k: tt_rank_reduce(tt_scale(s, v), 1e-12) for k, v in self._data.items()
+        }
+
+
+class TTBlockVectorView:
+    """All rows' cores at a fixed core index."""
+
+    def __init__(self, data: Dict[int, TT], core_index: int):
+        self._data = data
+        self._idx = core_index
+
+    def __getitem__(self, row_index: int):
+        return self._data[row_index][self._idx]
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def __contains__(self, row_index: int):
+        return row_index in self._data
+
+    def items(self):
+        for i, row in self._data.items():
+            if self._idx < len(row):
+                yield i, row[self._idx]
+
+    def block_local_product(self, Xb_k, Xb_kp1, nrmsc, shape) -> jax.Array:
+        """Project every rhs row onto the local basis:
+        result[:, i] = einsum('br,bnB,BR->rnR') (src/tt_als.py:79-83)."""
+        result = jnp.zeros(shape, dtype=config.dtype())
+        for i in self._data.keys():
+            contrib = jnp.einsum(
+                "br,bnB,BR->rnR", Xb_k[i], nrmsc * self._data[i][self._idx], Xb_kp1[i]
+            )
+            result = result.at[:, i].add(contrib)
+        return result
+
+
+class TTBlockMatrix:
+    """Dict of (row, col) -> TT operator with alias/transpose sharing."""
+
+    def __init__(self):
+        self._data: Dict[Tuple[int, int], TT] = {}
+        self._aliases: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        self._transposes: Dict[Tuple[int, int], Tuple[int, int]] = {}
+
+    def add_alias(self, key1, key2, is_transpose: bool = False):
+        if is_transpose:
+            self._transposes[key1] = key2
+        else:
+            self._aliases[key1] = key2
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            return self._data.setdefault(key, [])
+        if isinstance(key, int):
+            return TTBlockMatrixView(self._data, self._aliases, self._transposes, key)
+        raise KeyError(f"invalid key {key!r}")
+
+    def __setitem__(self, key, value):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise KeyError(f"invalid key {key!r}")
+        self._data[key] = value
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def keys(self):
+        return self._data.keys()
+
+    def tkeys(self):
+        return self._data.keys() | set(self._transposes.values())
+
+    def akeys(self):
+        return self._data.keys() | set(self._aliases.values())
+
+    def all_keys(self):
+        return self._data.keys() | set(self._aliases.values()) | set(self._transposes.values())
+
+    def block_product(self, x_cores: TT, op_tol: float, eps: float = 1e-12) -> TTBlockVector:
+        """Full block operator applied to a block TT solution
+        (src/tt_als.py:132-155)."""
+        from ttipm_tpu.ops.products import tt_mat_vec_mul
+
+        result = TTBlockVector()
+
+        def accumulate(row, op, col):
+            term = tt_mat_vec_mul(op, tt_get_block(col, x_cores), op_tol, eps)
+            if row in result.keys():
+                result[row] = tt_rank_reduce(tt_add(result.get_row(row), term), eps)
+            else:
+                result[row] = term
+
+        for (i, j), op in self._data.items():
+            accumulate(i, op, j)
+            if (i, j) in self._transposes:
+                k, t = self._transposes[i, j]
+                accumulate(k, tt_transpose(op), t)
+            if (i, j) in self._aliases:
+                k, t = self._aliases[i, j]
+                accumulate(k, op, t)
+        return result
+
+    def get_submatrix(self, row_index: int, col_index: int) -> "TTBlockMatrix":
+        sub = TTBlockMatrix()
+        sub._data = {
+            k: v for k, v in self._data.items() if k[0] <= row_index and k[1] <= col_index
+        }
+        sub._aliases = {
+            k: v for k, v in self._aliases.items() if v[0] <= row_index and v[1] <= col_index
+        }
+        sub._transposes = {
+            k: v
+            for k, v in self._transposes.items()
+            if v[0] <= row_index and v[1] <= col_index
+        }
+        return sub
+
+
+class TTBlockMatrixView:
+    """All blocks' cores at a fixed core index, with the local-product
+    contractions used inside AMEn sweeps."""
+
+    def __init__(self, data, aliases, transposes, core_index):
+        self._data = data
+        self._aliases = aliases
+        self._transposes = transposes
+        self._idx = core_index
+
+    def __getitem__(self, key):
+        return self._data[key][self._idx]
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def keys(self):
+        return self._data.keys()
+
+    def tkeys(self):
+        return self._data.keys() | set(self._transposes.values())
+
+    def akeys(self):
+        return self._data.keys() | set(self._aliases.values())
+
+    def all_keys(self):
+        return self._data.keys() | set(self._aliases.values()) | set(self._transposes.values())
+
+    @property
+    def transposes(self):
+        return self._transposes
+
+    @property
+    def aliases(self):
+        return self._aliases
+
+    def block_local_product(self, XAX_k, XAX_kp1, x_core) -> jax.Array:
+        """y[:, i] += K_ij x[:, j] in the local projected basis
+        (src/tt_als.py:190-200)."""
+        result = jnp.zeros_like(x_core)
+        for (i, j) in self._data.keys():
+            A_k = self._data[i, j][self._idx]
+            result = result.at[:, i].add(
+                jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, j])
+            )
+            if (i, j) in self._transposes:
+                k, t = self._transposes[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("lsr,smnS,LSR,lmL->rnR", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t])
+                )
+            if (i, j) in self._aliases:
+                k, t = self._aliases[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t])
+                )
+        return result
+
+    def compressed_block_local_product(self, ZAX_k, ZAX_kp1, x_core, shape) -> jax.Array:
+        """Residual projection with z-bases on both sides
+        (src/tt_als.py:202-212)."""
+        result = jnp.zeros(shape, dtype=config.dtype())
+        for (i, j) in self._data.keys():
+            A_k = self._data[i, j][self._idx]
+            result = result.at[:, i].add(
+                jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, j])
+            )
+            if (i, j) in self._transposes:
+                k, t = self._transposes[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("lsr,snmS,LSR,rnR->lmL", ZAX_k[k, t], A_k, ZAX_kp1[k, t], x_core[:, t])
+                )
+            if (i, j) in self._aliases:
+                k, t = self._aliases[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, t])
+                )
+        return result
+
+    def lcompressed_block_local_product(self, ZAX_k, XAX_kp1, x_core, shape) -> jax.Array:
+        """z-basis left / x-basis right projection (src/tt_als.py:215-225)."""
+        result = jnp.zeros(shape, dtype=config.dtype())
+        for (i, j) in self._data.keys():
+            A_k = self._data[i, j][self._idx]
+            result = result.at[:, i].add(
+                jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, j])
+            )
+            if (i, j) in self._transposes:
+                k, t = self._transposes[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("lsr,snmS,RSL,rnR->lmL", ZAX_k[k, t], A_k, XAX_kp1[i, j], x_core[:, t])
+                )
+            if (i, j) in self._aliases:
+                k, t = self._aliases[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t])
+                )
+        return result
+
+    def rcompressed_block_local_product(self, XAX_k, ZAX_kp1, x_core, shape) -> jax.Array:
+        """x-basis left / z-basis right projection (src/tt_als.py:228-238)."""
+        result = jnp.zeros(shape, dtype=config.dtype())
+        for (i, j) in self._data.keys():
+            A_k = self._data[i, j][self._idx]
+            result = result.at[:, i].add(
+                jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, j])
+            )
+            if (i, j) in self._transposes:
+                k, t = self._transposes[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("rsl,snmS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[k, t], x_core[:, t])
+                )
+            if (i, j) in self._aliases:
+                k, t = self._aliases[i, j]
+                result = result.at[:, k].add(
+                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, t])
+                )
+        return result

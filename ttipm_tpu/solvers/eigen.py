@@ -1,0 +1,537 @@
+"""TT eigensolvers for the IPM step-size search.
+
+``tt_max_generalised_eigen(A, Delta)`` finds the largest step ``alpha``
+with ``A + alpha*Delta ⪰ 0`` by MALS sweeps over 2-core windows: at each
+window it computes the smallest eigenpair of the projected operator
+``(1/alpha) A + Delta`` and, when that eigenvalue goes negative, shrinks
+``alpha`` to ``1/lambda_max(-Delta, A)`` (parity:
+/root/reference/src/tt_als.py:931-1283).
+
+``tt_min_eig(A)`` is the plain smallest-eigenvector MALS sweep used for
+the inequality step sizes over ``Diag(.)`` operators
+(src/tt_als.py:1286-1499).
+
+The reference leans on ARPACK ``eigsh``/``splu``/``lobpcg``; here both the
+dense-assembled and matrix-free local problems go through one JAX-native
+LOBPCG (standard and generalized), so the entire path stays on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttipm_tpu import config
+from ttipm_tpu.ops.rounding import (
+    add_kick_rank,
+    add_kick_rank_rev,
+    prune_singular_vals,
+)
+from ttipm_tpu.ops.tt import TT, tt_inner_prod, tt_normalise, tt_ranks
+from ttipm_tpu.ops.products import tt_fast_matrix_vec_mul
+from ttipm_tpu.solvers.amen import compute_phi_bck_A, compute_phi_fwd_A
+
+__all__ = ["tt_max_generalised_eigen", "tt_min_eig", "lobpcg_smallest"]
+
+
+# ---------------------------------------------------------------------------
+# JAX-native LOBPCG (k=1, optionally generalized A x = lam B x)
+# ---------------------------------------------------------------------------
+
+def _rayleigh_ritz_smallest(W, AW, BW):
+    """Smallest Ritz pair over the span of the columns of W."""
+    G_a = W.T @ AW
+    G_b = W.T @ BW
+    # Whiten with G_b^{-1/2} via eigh; drop near-null directions.
+    eb, Ub = jnp.linalg.eigh(0.5 * (G_b + G_b.T))
+    keep = eb > 1e-12 * jnp.max(jnp.abs(eb))
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, eb, 1.0)), 0.0)
+    T = Ub * inv_sqrt[None, :]
+    H = T.T @ (0.5 * (G_a + G_a.T)) @ T
+    ev, Uv = jnp.linalg.eigh(H)
+    c = T @ Uv[:, 0]
+    return ev[0], W @ c
+
+
+def lobpcg_smallest(
+    matvec: Callable,
+    x0: jax.Array,
+    tol: float,
+    maxiter: int,
+    b_matvec: Optional[Callable] = None,
+):
+    """Smallest eigenpair of a symmetric operator (generalized when
+    ``b_matvec`` is given) by LOBPCG with k=1.
+
+    Returns (eigval, eigvec, residual_norm).  Host loop with device math;
+    iteration counts follow the reference's caps (src/tt_als.py:907-909).
+    """
+    n = x0.size
+    x = x0.reshape(-1)
+    nrm = jnp.linalg.norm(x)
+    x = jnp.where(nrm > 0, x / jnp.maximum(nrm, 1e-300), jnp.ones_like(x) / np.sqrt(n))
+    bx = b_matvec(x) if b_matvec is not None else x
+    x = x / jnp.sqrt(jnp.abs(jnp.vdot(x, bx)) + 1e-300)
+
+    p = None
+    lam = None
+    res_norm = np.inf
+    for _ in range(maxiter):
+        ax = matvec(x)
+        bx = b_matvec(x) if b_matvec is not None else x
+        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+        r = ax - lam * bx
+        res_norm = float(jnp.linalg.norm(r))
+        if res_norm < tol:
+            break
+        cols = [x, r] if p is None else [x, r, p]
+        W = jnp.stack(cols, axis=1)
+        # Normalize columns for conditioning
+        W = W / jnp.maximum(jnp.linalg.norm(W, axis=0, keepdims=True), 1e-300)
+        AW = jnp.stack([matvec(W[:, i]) for i in range(W.shape[1])], axis=1)
+        BW = (
+            jnp.stack([b_matvec(W[:, i]) for i in range(W.shape[1])], axis=1)
+            if b_matvec is not None
+            else W
+        )
+        lam_new, x_new = _rayleigh_ritz_smallest(W, AW, BW)
+        p = x_new - x * jnp.vdot(x, x_new)
+        pn = jnp.linalg.norm(p)
+        p = None if float(pn) < 1e-14 else p / pn
+        x = x_new / jnp.maximum(jnp.linalg.norm(x_new), 1e-300)
+        lam = lam_new
+    if lam is None:
+        ax = matvec(x)
+        bx = b_matvec(x) if b_matvec is not None else x
+        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+        res_norm = float(jnp.linalg.norm(ax - lam * bx))
+    return float(lam), x, res_norm
+
+
+def _maxiter_for(m: int) -> int:
+    return max(20, min(300, 5 * int(m)))
+
+
+# ---------------------------------------------------------------------------
+# Local window solves for the generalized step-size search
+# ---------------------------------------------------------------------------
+
+def _window_matvecs_2core(phiA_l, A_k, A_k1, phiA_r, shape):
+    """Matrix-free matvec of a projected 2-core operator window."""
+
+    def mv(vec):
+        x = vec.reshape(shape)
+        out = jnp.einsum("lsr,smnk,kptS,LSR,rntR->lmpL", phiA_l, A_k, A_k1, phiA_r, x)
+        return out.reshape(-1)
+
+    return mv
+
+
+def _window_matvec_1core(phi_l, A_k, phi_r, shape):
+    def mv(vec):
+        x = vec.reshape(shape)
+        out = jnp.einsum("lsr,smnS,LSR,rnR->lmL", phi_l, A_k, phi_r, x)
+        return out.reshape(-1)
+
+    return mv
+
+
+def _step_size_window_solve(
+    sol1, sol2, XAX_l, A_k, A_k1, XAX_r, XDX_l, D_k, D_k1, XDX_r,
+    step_size, trunc_tol, eps, max_rank, rng, bwd=True,
+):
+    """Smallest-eig window solve for ``(1/alpha) A + Delta`` with the
+    shrink-on-negative rule (src/tt_als.py:931-1038)."""
+    if (not np.isfinite(step_size)) or step_size <= 0:
+        return sol1, sol2, 0.0, np.inf
+
+    prev = jnp.einsum("rny,ytR->rntR", sol1, sol2)
+    shape = prev.shape
+    m = int(np.prod(shape))
+    prev_vec = prev.reshape(-1)
+
+    mv_A = _window_matvecs_2core(XAX_l, A_k, A_k1, XAX_r, shape)
+    mv_D = _window_matvecs_2core(XDX_l, D_k, D_k1, XDX_r, shape)
+
+    def mv_M(v):
+        av = mv_A(v)
+        dv = mv_D(v)
+        return av / step_size + dv
+
+    lam, x, res = lobpcg_smallest(
+        mv_M, prev_vec, tol=eps, maxiter=_maxiter_for(min(m, 60))
+    )
+    sol_vec = x
+    if lam < 0:
+        # alpha too large: largest lambda with -Delta v = lambda A v, i.e.
+        # smallest of (Delta, A); alpha <- min(alpha, 1/lambda_max).
+        lam_g, xg, res_g = lobpcg_smallest(
+            lambda v: mv_D(v), sol_vec, tol=eps,
+            maxiter=_maxiter_for(min(m, 60)),
+            b_matvec=lambda v: mv_A(v) + 1e-12 * v,
+        )
+        lam_max = -lam_g
+        if np.isfinite(lam_max) and lam_max > 0:
+            step_size = max(0.0, min(step_size, 1.0 / lam_max))
+        else:
+            step_size *= 1 - eps
+
+    # Residual of the *previous* iterate in the updated operator — this is
+    # what the sweep's convergence check uses (src/tt_als.py:995-996).
+    denom = step_size if step_size > 0 else 1.0
+    Mp = mv_A(prev_vec) / denom + mv_D(prev_vec)
+    lam_prev = jnp.vdot(prev_vec, Mp)
+    old_res = float(jnp.linalg.norm(Mp - lam_prev * prev_vec))
+
+    sol_vec = sol_vec / jnp.maximum(jnp.linalg.norm(sol_vec), 1e-300)
+    mat = sol_vec.reshape(int(np.prod(shape[:2])), int(np.prod(shape[2:])))
+    if bwd:
+        u, s, v_t = jnp.linalg.svd(mat.T, full_matrices=False)
+        v = s[:, None] * v_t
+        r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+        s1, s2, r = add_kick_rank_rev(v[:r].T, u[:, :r].T, 4, rng)
+        sol2_new = s2.reshape(r, shape[2], shape[3])
+        sol1_new = s1.reshape(shape[0], shape[1], r)
+    else:
+        u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+        r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+        u1 = u[:, :r]
+        v2 = s[:r, None] * v_t[:r]
+        s1, s2, r = add_kick_rank(u1, v2, 4, rng)
+        sol1_new = s1.reshape(shape[0], shape[1], r)
+        sol2_new = s2.reshape(r, shape[2], shape[3])
+    return sol1_new, sol2_new, float(step_size), old_res
+
+
+def _step_size_last_solve(prev, XDX_l, D_k, XDX_r, XAX_l, A_k, XAX_r, step_size, eps):
+    """Single-core refinement pass (src/tt_als.py:1056-1129)."""
+    if (not np.isfinite(step_size)) or step_size <= 0:
+        return prev.reshape(-1, 1), 0.0, np.inf
+    shape = prev.shape
+    m = int(np.prod(shape))
+    mv_A = _window_matvec_1core(XAX_l, A_k, XAX_r, shape)
+    mv_D = _window_matvec_1core(XDX_l, D_k, XDX_r, shape)
+
+    def mv_M(v):
+        return mv_A(v) / step_size + mv_D(v)
+
+    prev_vec = prev.reshape(-1)
+    lam, x, res = lobpcg_smallest(mv_M, prev_vec, tol=eps, maxiter=_maxiter_for(min(m, 60)))
+    if lam < 0:
+        lam_g, xg, _ = lobpcg_smallest(
+            mv_D, x, tol=eps, maxiter=_maxiter_for(min(m, 60)),
+            b_matvec=lambda v: mv_A(v) + 1e-12 * v,
+        )
+        lam_max = -lam_g
+        if np.isfinite(lam_max) and lam_max > 0:
+            step_size = max(0.0, min(step_size, 1.0 / lam_max))
+        else:
+            step_size *= 1 - eps
+    denom = step_size if step_size > 0 else 1.0
+    Mp = mv_A(prev_vec) / denom + mv_D(prev_vec)
+    lam_prev = jnp.vdot(prev_vec, Mp)
+    old_res = float(jnp.linalg.norm(Mp - lam_prev * prev_vec))
+    return x.reshape(-1, 1), float(step_size), old_res
+
+
+def _eigen_residual_stalled(prev_res, res, tol):
+    return (
+        np.isfinite(prev_res) and np.isfinite(res)
+        and res <= 50 * tol and res >= 0.8 * prev_res
+    )
+
+
+def _eigen_step_stalled(prev_step, step, prev_res, res, tol):
+    if prev_step is None:
+        return False
+    scale = max(abs(step), abs(prev_step), 1.0)
+    return (
+        abs(step - prev_step) <= max(10 * tol, 1e-12) * scale
+        and _eigen_residual_stalled(prev_res, res, tol)
+    )
+
+
+def tt_max_generalised_eigen(
+    A: TT, Delta: TT, x0: Optional[TT] = None, nswp: int = 10, tol: float = 1e-8,
+    size_limit: int = 256, verbose: bool = False,
+):
+    """Largest ``alpha`` with ``A + alpha*Delta ⪰ 0`` (step-size search),
+    returning (alpha, eigen TT warm start).  Parity: src/tt_als.py:1132-1283.
+    """
+    from ttipm_tpu.ops.random import tt_random_gaussian
+
+    rng = np.random
+    if x0 is None:
+        x_cores = tt_random_gaussian([2] * (len(A) - 1), (A[0].shape[2],))
+    else:
+        x_cores = list(x0)
+
+    d = len(x_cores)
+    rx = np.array([1] + tt_ranks(x_cores) + [1])
+    N = np.array([c.shape[1] for c in x_cores])
+    ones3 = jnp.ones((1, 1, 1), dtype=config.dtype())
+    XAX = [ones3] + [None] * (d - 1) + [ones3]
+    XDX = [ones3] + [None] * (d - 1) + [ones3]
+
+    step_size = 1.0
+    local_res = np.inf * np.ones((2, max(d - 1, 1)))
+    max_rank = int(np.floor(2 ** (d / 2)))
+    trunc_tol = tol / np.sqrt(d)
+    prev_sweep_step = None
+    prev_sweep_res = np.inf
+
+    def finish_fwd():
+        nonlocal step_size
+        for k in range(d):
+            prev = x_cores[k]
+            sol, step_size_n, _ = _step_size_last_solve(
+                prev, XDX[k], Delta[k], XDX[k + 1], XAX[k], A[k], XAX[k + 1],
+                step_size, tol,
+            )
+            step_size = step_size_n
+            sol = jnp.reshape(sol, (rx[k] * N[k], rx[k + 1]))
+            if k < d - 1:
+                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                v = s[:, None] * v_t
+                r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+                x_cores[k] = u[:, :r].reshape(rx[k], N[k], r)
+                x_cores[k + 1] = jnp.einsum("ij,jkl->ikl", v[:r], x_cores[k + 1]).reshape(
+                    r, N[k + 1], rx[k + 2]
+                )
+                rx[k + 1] = r
+                XAX[k + 1] = compute_phi_fwd_A(XAX[k], x_cores[k], A[k], x_cores[k])
+                XDX[k + 1] = compute_phi_fwd_A(XDX[k], x_cores[k], Delta[k], x_cores[k])
+            else:
+                x_cores[k] = jnp.reshape(sol, (rx[k], N[k], rx[k + 1]))
+
+    def finish_bck():
+        nonlocal step_size
+        for k in range(d - 1, -1, -1):
+            prev = x_cores[k]
+            sol, step_size_n, _ = _step_size_last_solve(
+                prev, XDX[k], Delta[k], XDX[k + 1], XAX[k], A[k], XAX[k + 1],
+                step_size, tol,
+            )
+            step_size = step_size_n
+            sol = jnp.reshape(sol, (rx[k], N[k] * rx[k + 1])).T
+            if k > 0:
+                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                v = s[:, None] * v_t
+                r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+                x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
+                x_cores[k - 1] = jnp.einsum("rdc,cR->rdR", x_cores[k - 1], v[:r].T)
+                rx[k] = r
+                XAX[k] = compute_phi_bck_A(XAX[k + 1], x_cores[k], A[k], x_cores[k])
+                XDX[k] = compute_phi_bck_A(XDX[k + 1], x_cores[k], Delta[k], x_cores[k])
+            else:
+                x_cores[k] = jnp.reshape(sol, (rx[k], N[k], rx[k + 1]))
+
+    swp = 0
+    for swp in range(nswp):
+        zero_step = False
+        # Backward half sweep over 2-core windows
+        for k in range(d - 1, 0, -1):
+            if swp > 0:
+                x_cores[k - 1], x_cores[k], step_size, res = _step_size_window_solve(
+                    x_cores[k - 1], x_cores[k],
+                    XAX[k - 1], A[k - 1], A[k], XAX[k + 1],
+                    XDX[k - 1], Delta[k - 1], Delta[k], XDX[k + 1],
+                    step_size, trunc_tol, tol, max_rank, rng, bwd=True,
+                )
+                local_res[0, k - 1] = res
+                if step_size <= 0:
+                    zero_step = True
+                    break
+            else:
+                sol = jnp.reshape(x_cores[k], (rx[k], N[k] * rx[k + 1])).T
+                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                v = s[:, None] * v_t
+                r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+                x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
+                x_cores[k - 1] = jnp.einsum("rdc,cR->rdR", x_cores[k - 1], v[:r].T)
+            rx[k] = int(x_cores[k].shape[0])
+            XAX[k] = compute_phi_bck_A(XAX[k + 1], x_cores[k], A[k], x_cores[k])
+            XDX[k] = compute_phi_bck_A(XDX[k + 1], x_cores[k], Delta[k], x_cores[k])
+
+        if zero_step:
+            break
+        if np.max(local_res) < tol or swp == nswp - 1:
+            finish_fwd()
+            break
+
+        # Forward half sweep
+        for k in range(d - 1):
+            x_cores[k], x_cores[k + 1], step_size, res = _step_size_window_solve(
+                x_cores[k], x_cores[k + 1],
+                XAX[k], A[k], A[k + 1], XAX[k + 2],
+                XDX[k], Delta[k], Delta[k + 1], XDX[k + 2],
+                step_size, trunc_tol, tol, max_rank, rng, bwd=False,
+            )
+            local_res[1, k] = res
+            if step_size <= 0:
+                zero_step = True
+                break
+            rx[k + 1] = int(x_cores[k + 1].shape[0])
+            XAX[k + 1] = compute_phi_fwd_A(XAX[k], x_cores[k], A[k], x_cores[k])
+            XDX[k + 1] = compute_phi_fwd_A(XDX[k], x_cores[k], Delta[k], x_cores[k])
+
+        if zero_step:
+            break
+        if np.max(local_res) < tol:
+            finish_bck()
+            break
+
+        sweep_res = float(np.max(local_res))
+        if swp >= 2 and _eigen_step_stalled(prev_sweep_step, step_size, prev_sweep_res, sweep_res, tol):
+            break
+        prev_sweep_step = step_size
+        prev_sweep_res = sweep_res
+
+    max_res = float(np.max(local_res))
+    x_cores = tt_normalise(x_cores)
+    if max_res > tol and np.isfinite(max_res) and max_res > 0:
+        step_size *= tol / max_res
+    return step_size, x_cores
+
+
+# ---------------------------------------------------------------------------
+# Plain smallest-eigenvector sweeps (inequality step sizes)
+# ---------------------------------------------------------------------------
+
+def _eigen_window_solve(sol1, sol2, XAX_l, A_k, A_k1, XAX_r, trunc_tol, eps,
+                        max_rank, rng, bwd=True):
+    prev = jnp.einsum("rny,ytR->rntR", sol1, sol2)
+    shape = prev.shape
+    m = int(np.prod(shape))
+    mv = _window_matvecs_2core(XAX_l, A_k, A_k1, XAX_r, shape)
+    lam, x, _ = lobpcg_smallest(mv, prev.reshape(-1), tol=eps,
+                                maxiter=_maxiter_for(min(m, 60)))
+    prev_vec = prev.reshape(-1)
+    Ap = mv(prev_vec)
+    lam_prev = jnp.vdot(prev_vec, Ap)
+    old_res = float(jnp.linalg.norm(lam_prev * prev_vec - Ap))
+    mat = x.reshape(int(np.prod(shape[:2])), int(np.prod(shape[2:])))
+    if bwd:
+        u, s, v_t = jnp.linalg.svd(mat.T, full_matrices=False)
+        v = s[:, None] * v_t
+        r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+        s1, s2, r = add_kick_rank_rev(v[:r].T, u[:, :r].T, 4, rng)
+        sol2_new = s2.reshape(r, shape[2], shape[3])
+        sol1_new = s1.reshape(shape[0], shape[1], r)
+    else:
+        u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+        r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+        s1, s2, r = add_kick_rank(u[:, :r], s[:r, None] * v_t[:r], 4, rng)
+        sol1_new = s1.reshape(shape[0], shape[1], r)
+        sol2_new = s2.reshape(r, shape[2], shape[3])
+    return sol1_new, sol2_new, old_res
+
+
+def tt_min_eig(
+    A: TT, x0: Optional[TT] = None, nswp: int = 10, tol: float = 1e-8,
+    size_limit: int = 64, return_eig_val: bool = False, verbose: bool = False,
+):
+    """Smallest eigenvector of a symmetric TT operator
+    (src/tt_als.py:1392-1499)."""
+    from ttipm_tpu.ops.random import tt_random_gaussian
+
+    rng = np.random
+    if x0 is None:
+        x_cores = tt_random_gaussian([2] * (len(A) - 1), (A[0].shape[2],))
+    else:
+        x_cores = list(x0)
+    d = len(x_cores)
+    rx = np.array([1] + tt_ranks(x_cores) + [1])
+    N = np.array([c.shape[1] for c in x_cores])
+    ones3 = jnp.ones((1, 1, 1), dtype=config.dtype())
+    XAX = [ones3] + [None] * (d - 1) + [ones3]
+
+    max_rank = int(np.floor(2 ** (d / 2)))
+    trunc_tol = 0.1 * tol / np.sqrt(d)
+    prev_sweep_res = np.inf
+    max_res = 0.0
+
+    def finish(direction):
+        ks = range(d) if direction > 0 else range(d - 1, -1, -1)
+        for k in ks:
+            prev = x_cores[k]
+            shape = prev.shape
+            mv = _window_matvec_1core(XAX[k], A[k], XAX[k + 1], shape)
+            _, x, _ = lobpcg_smallest(
+                mv, prev.reshape(-1), tol=tol,
+                maxiter=_maxiter_for(min(int(np.prod(shape)), 60)),
+            )
+            if direction > 0 and k < d - 1:
+                sol = x.reshape(rx[k] * N[k], rx[k + 1])
+                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                v = s[:, None] * v_t
+                r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+                x_cores[k] = u[:, :r].reshape(rx[k], N[k], r)
+                x_cores[k + 1] = jnp.einsum("ij,jkl->ikl", v[:r], x_cores[k + 1]).reshape(
+                    r, N[k + 1], rx[k + 2]
+                )
+                rx[k + 1] = r
+                XAX[k + 1] = compute_phi_fwd_A(XAX[k], x_cores[k], A[k], x_cores[k])
+            elif direction < 0 and k > 0:
+                sol = x.reshape(rx[k], N[k] * rx[k + 1]).T
+                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                v = s[:, None] * v_t
+                r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+                x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
+                x_cores[k - 1] = jnp.einsum("rdc,cR->rdR", x_cores[k - 1], v[:r].T)
+                rx[k] = r
+                XAX[k] = compute_phi_bck_A(XAX[k + 1], x_cores[k], A[k], x_cores[k])
+            else:
+                x_cores[k] = x.reshape(rx[k], N[k], rx[k + 1])
+
+    swp = 0
+    for swp in range(nswp):
+        max_res = np.inf if swp == 0 else 0.0
+        for k in range(d - 1, 0, -1):
+            if swp > 0:
+                x_cores[k - 1], x_cores[k], res = _eigen_window_solve(
+                    x_cores[k - 1], x_cores[k], XAX[k - 1], A[k - 1], A[k], XAX[k + 1],
+                    trunc_tol, tol, max_rank, rng, bwd=True,
+                )
+                max_res = max(max_res, res)
+            else:
+                sol = jnp.reshape(x_cores[k], (rx[k], N[k] * rx[k + 1])).T
+                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                v = s[:, None] * v_t
+                r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
+                x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
+                x_cores[k - 1] = jnp.einsum("rdc,cR->rdR", x_cores[k - 1], v[:r].T)
+            rx[k] = int(x_cores[k].shape[0])
+            XAX[k] = compute_phi_bck_A(XAX[k + 1], x_cores[k], A[k], x_cores[k])
+
+        if max_res < tol or swp == nswp - 1:
+            finish(+1)
+            break
+
+        max_res = 0.0
+        for k in range(d - 1):
+            x_cores[k], x_cores[k + 1], res = _eigen_window_solve(
+                x_cores[k], x_cores[k + 1], XAX[k], A[k], A[k + 1], XAX[k + 2],
+                trunc_tol, tol, max_rank, rng, bwd=False,
+            )
+            max_res = max(max_res, res)
+            rx[k + 1] = int(x_cores[k + 1].shape[0])
+            XAX[k + 1] = compute_phi_fwd_A(XAX[k], x_cores[k], A[k], x_cores[k])
+
+        if max_res < tol:
+            finish(-1)
+            break
+        if swp >= 2 and _eigen_residual_stalled(prev_sweep_res, max_res, tol):
+            break
+        prev_sweep_res = max_res
+
+    x_cores = tt_normalise(x_cores)
+    min_eig_value = None
+    if return_eig_val:
+        min_eig_value = tt_inner_prod(
+            x_cores, tt_fast_matrix_vec_mul(A, x_cores, 1e-12)
+        )
+    return x_cores, min_eig_value
