@@ -11,9 +11,11 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # Tiny kernels: O0 halves XLA:CPU compile latency (the suite's cost).
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
@@ -25,5 +27,11 @@ import pytest
 
 @pytest.fixture(autouse=True)
 def _seed():
+    # Exact reference rank parity in unit tests: disable rank bucketing
+    # (perf contexts re-enable it; test_bucketing covers the padded path).
+    from ttipm_tpu import config as tt_config
+
+    tt_config.set_rank_bucket(1)
     np.random.seed(0)
     yield
+    tt_config.set_rank_bucket(4)

@@ -44,3 +44,35 @@ def dtype():
 def clamp_eps(eps: float) -> float:
     """Clamp a rounding/tolerance threshold to the active dtype's floor."""
     return max(float(eps), _EPS_FLOOR)
+
+
+# --- Rank bucketing -------------------------------------------------------
+#
+# TT bond ranks are data-dependent, so every op sees a stream of new array
+# shapes and XLA compiles each one (profiling a dim-3 IPM run: 2448
+# compilations, 81% of wall time).  Zero-padding freshly created bond
+# ranks up to a bucket multiple keeps the represented tensor exact while
+# collapsing the shape stream onto a small set of compiled kernels — the
+# padded-rank design of SURVEY.md §7.  Bucket 1 disables padding (exact
+# reference rank parity, used by the unit tests).
+
+_RANK_BUCKET = 4
+
+
+def set_rank_bucket(bucket: int) -> None:
+    global _RANK_BUCKET
+    _RANK_BUCKET = max(int(bucket), 1)
+
+
+def rank_bucket() -> int:
+    return _RANK_BUCKET
+
+
+def bucket_rank(r: int) -> int:
+    """Smallest padded rank >= r: ranks 1,2 stay exact, larger ranks round
+    up to a multiple of the bucket."""
+    r = int(r)
+    if _RANK_BUCKET <= 1 or r <= 2:
+        return r
+    b = _RANK_BUCKET
+    return ((r + b - 1) // b) * b

@@ -25,6 +25,7 @@ import numpy as np
 from ttipm_tpu import config
 from ttipm_tpu.ops.rounding import (
     add_kick_rank,
+    pad_bond_factors,
     prune_singular_vals,
     tt_rank_reduce,
 )
@@ -174,6 +175,7 @@ def _als_product_sweeps(
                     u, v, r = add_kick_rank(u[:, :r], v[:r], int(kick_rank[k - 1]))
                 else:
                     u, v = u[:, :r], v[:r]
+                u, v, r = pad_bond_factors(u, v, r)
                 nrmsc *= normx[k - 1] / norm_phi[k - 1]
                 x_cores[k] = u.T.reshape(r, *phys_shape(k), rx[k + 1])
                 x_cores[k - 1] = jnp.tensordot(x_cores[k - 1], v.T, axes=([-1], [0]))
@@ -211,6 +213,7 @@ def _als_product_sweeps(
                     u, v, r = add_kick_rank(u[:, :r], v[:r, :], int(kick_rank[k]))
                 else:
                     u, v = u[:, :r], v[:r, :]
+                u, v, r = pad_bond_factors(u, v, r)
                 x_cores[k] = u.reshape(rx[k], *phys_shape(k), r)
                 x_cores[k + 1] = jnp.tensordot(v, x_cores[k + 1], axes=([1], [0]))
                 norm_now = float(jnp.linalg.norm(x_cores[k + 1]))

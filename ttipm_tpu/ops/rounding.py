@@ -59,12 +59,76 @@ def prune_singular_vals(s: np.ndarray, eps: float) -> int:
     return r
 
 
+def _orthonormal_complement(q_mat: jax.Array, k: int) -> jax.Array:
+    """k extra orthonormal columns orthogonal to the columns of q_mat."""
+    g = jnp.asarray(np.random.randn(q_mat.shape[0], k), dtype=q_mat.dtype)
+    g = g - q_mat @ (q_mat.T @ g)
+    q2, _ = jnp.linalg.qr(g, mode="reduced")
+    return q2
+
+
+def pad_bond_factors(left: jax.Array, right: jax.Array, r: int, orth: str = "left"):
+    """Pad a bond factor pair (left: (..., r), right: (r, ...)) to the
+    configured rank bucket (SURVEY.md §7 padded-rank design).
+
+    The orthogonal factor (``orth``: 'left' = left factor's last axis
+    carries orthonormal columns, 'right' = right factor's first axis
+    carries orthonormal rows) is extended with an orthonormal complement
+    so that downstream Galerkin projections stay non-singular (the local
+    KKT solvers divide by the projected identity's diagonal); the other
+    factor is zero-padded, which keeps the represented product exact.
+    """
+    rb = config.bucket_rank(r)
+    if orth == "left":
+        m = int(np.prod(left.shape[:-1]))
+    else:
+        m = int(np.prod(right.shape[1:]))
+    rb = min(rb, m)
+    if rb <= r:
+        return left, right, r
+    k = rb - r
+    if orth == "left":
+        lmat = left.reshape(-1, r)
+        lmat = jnp.concatenate([lmat, _orthonormal_complement(lmat, k)], axis=1)
+        left = lmat.reshape(*left.shape[:-1], rb)
+        right = jnp.pad(right, [(0, k)] + [(0, 0)] * (right.ndim - 1))
+    else:
+        rmat = right.reshape(r, -1)
+        comp = _orthonormal_complement(rmat.T, k).T
+        right = jnp.concatenate([rmat, comp], axis=0).reshape(rb, *right.shape[1:])
+        left = jnp.pad(left, [(0, 0)] * (left.ndim - 1) + [(0, k)])
+    return left, right, rb
+
+
 def _qr_econ(mat: jax.Array):
     return jnp.linalg.qr(mat, mode="reduced")
 
 
 def _svd_econ(mat: jax.Array):
     return jnp.linalg.svd(mat, full_matrices=False)
+
+
+# Fused per-bond kernels (cached per shape signature): one compiled kernel
+# per RL-orthogonalisation step and per truncation-application step instead
+# of a chain of eager reshape/QR/matmul dispatches.
+
+@jax.jit
+def _rl_bond_kernel(core2d, prev2d):
+    """QR of the transposed right unfolding + absorb R into the left
+    neighbour: returns (q_t, prev_new)."""
+    q, r = jnp.linalg.qr(core2d.T, mode="reduced")
+    return q.T, prev2d @ r.T
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(3,))
+def _trunc_apply_kernel(u, s, v_t, next_rank, next_mat):
+    """Apply a rank-``next_rank`` truncation: slice U, fold S*Vt into the
+    right neighbour."""
+    sv = s[:next_rank, None] * v_t[:next_rank, :]
+    return u[:, :next_rank], sv @ next_mat
 
 
 def tt_rl_orthogonalise(train_tt: TT) -> TT:
@@ -76,15 +140,16 @@ def tt_rl_orthogonalise(train_tt: TT) -> TT:
     out = list(train_tt)
     for i in range(dim - 1, 0, -1):
         shape_i = out[i].shape
-        # QR of the transposed unfolding: rows = physical x right bond.
-        q, r = _qr_econ(out[i].reshape(shape_i[0], -1).T)
-        new_rank = r.shape[0]
-        out[i] = q.T.reshape(new_rank, *shape_i[1:])
         prev = out[i - 1]
         prev_shape = prev.shape
-        out[i - 1] = (prev.reshape(-1, shape_i[0]) @ r.T).reshape(
-            *prev_shape[:-1], new_rank
+        # QR of the transposed unfolding (rows = physical x right bond),
+        # fused with the R-absorption into the left neighbour.
+        q_t, prev_new = _rl_bond_kernel(
+            out[i].reshape(shape_i[0], -1), prev.reshape(-1, shape_i[0])
         )
+        new_rank = q_t.shape[0]
+        out[i] = q_t.reshape(new_rank, *shape_i[1:])
+        out[i - 1] = prev_new.reshape(*prev_shape[:-1], new_rank)
     return out
 
 
@@ -120,11 +185,12 @@ def _truncation_sweep(
             next_rank = s_host.size
         if compensation is not None and next_rank < s_host.size:
             discarded += float(tail[next_rank])
-        out[idx] = u[:, :next_rank].reshape(rank, *shape[1:-1], next_rank)
-        sv = s[:next_rank, None] * v_t[:next_rank, :]
-        out[idx + 1] = (sv @ out[idx + 1].reshape(next_shape[0], -1)).reshape(
-            next_rank, *next_shape[1:-1], -1
+        u_k, folded = _trunc_apply_kernel(
+            u, s, v_t, next_rank, out[idx + 1].reshape(next_shape[0], -1)
         )
+        u_k, folded, next_rank = pad_bond_factors(u_k, folded, next_rank)
+        out[idx] = u_k.reshape(rank, *shape[1:-1], next_rank)
+        out[idx + 1] = folded.reshape(next_rank, *next_shape[1:-1], -1)
         rank = next_rank
     return out, discarded
 

@@ -153,14 +153,15 @@ def tt_copy(train_tt: TT) -> TT:
 # ---------------------------------------------------------------------------
 
 def _block_diag_core(core_1: jax.Array, core_2: jax.Array) -> jax.Array:
-    """Direct-sum of two cores along their bond axes."""
+    """Direct-sum of two cores along their bond axes (concat-built: XLA
+    fuses pad+concat far better than scatter updates)."""
     r1, R1 = core_1.shape[0], core_1.shape[-1]
     r2, R2 = core_2.shape[0], core_2.shape[-1]
-    mid = core_1.shape[1:-1]
-    out = jnp.zeros((r1 + r2, *mid, R1 + R2), dtype=core_1.dtype)
-    out = out.at[:r1, ..., :R1].set(core_1)
-    out = out.at[r1:, ..., R1:].set(core_2)
-    return out
+    zero_pad_1 = [(0, 0)] * (core_1.ndim - 1) + [(0, R2)]
+    zero_pad_2 = [(0, 0)] * (core_2.ndim - 1) + [(R1, 0)]
+    top = jnp.pad(core_1, zero_pad_1)
+    bottom = jnp.pad(core_2, zero_pad_2)
+    return jnp.concatenate((top, bottom), axis=0)
 
 
 def tt_add(train_1_tt: TT, train_2_tt: TT) -> TT:

@@ -25,6 +25,7 @@ import numpy as np
 
 from ttipm_tpu import config
 from ttipm_tpu.ops.rounding import (
+    pad_bond_factors,
     prune_singular_vals,
     tt_rank_retraction,
     truncated_svd,
@@ -212,6 +213,7 @@ def _bck_sweep(
                 u_core = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
                 v_core = v[:r].T.reshape(rx[k], block_size, r)
 
+            v_core, u_core, r = pad_bond_factors(v_core, u_core, r, orth="right")
             x_cores[k] = u_core
             x_cores[k - 1] = (
                 jnp.einsum("rdc,cbR->rbdR", x_cores[k - 1], v_core) / scales
@@ -367,6 +369,7 @@ def _fwd_sweep(
                 u3 = u3[:, :, :r]
                 v_kept = v[:r].reshape(r, block_size, rx[k + 1])
 
+            u3, v_kept, r = pad_bond_factors(u3, v_kept, r)
             merged = jnp.einsum("rbR,RdK->rbdK", v_kept, x_cores[k + 1])
             x_cores[k] = u3
             x_cores[k + 1] = merged.reshape(r, block_size, N[k + 1], rx[k + 2]) / scales
@@ -580,9 +583,10 @@ def make_default_local_solver(rtol: float = 1e-10):
     """Dense projected local solve for standalone AMEn use (the IPM injects
     its own Schur solvers).  Parity: src/tt_als.py:672-741, with the dense
     branch assembled in one einsum per block and solved by LU; the
-    adaptive-lgmres branch is replaced by jax GMRES on the matvec.
+    adaptive-lgmres branch is replaced by eager restarted GMRES on the
+    matvec (see solvers/lgmres.py for why not jax.scipy's gmres).
     """
-    import jax.scipy.sparse.linalg as jsp_sparse
+    from ttipm_tpu.solvers.lgmres import gmres_restarted
 
     def local_solver(XAX_k, block_A_k, XAX_k1, Xb_k, block_b_k, Xb_k1,
                      previous_solution, size_limit, dense_ok):
@@ -638,9 +642,9 @@ def make_default_local_solver(rtol: float = 1e-10):
 
             b_flat = jnp.transpose(rhs, (1, 0, 2, 3)).reshape(-1)
             x0_flat = jnp.transpose(previous_solution, (1, 0, 2, 3)).reshape(-1)
-            x, _ = jsp_sparse.gmres(
-                mat_vec, b_flat, x0=x0_flat, tol=rtol, restart=min(m * block_size, 40),
-                maxiter=100, solve_method="batched",
+            x, _ = gmres_restarted(
+                mat_vec, b_flat, x0=x0_flat, rtol=rtol,
+                restart=min(m * block_size, 40), maxiter=100,
             )
             solution_now = jnp.transpose(
                 x.reshape(block_size, x_shape[0], x_shape[2], x_shape[3]), (1, 0, 2, 3)

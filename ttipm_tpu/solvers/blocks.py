@@ -107,13 +107,14 @@ class TTBlockVectorView:
     def block_local_product(self, Xb_k, Xb_kp1, nrmsc, shape) -> jax.Array:
         """Project every rhs row onto the local basis:
         result[:, i] = einsum('br,bnB,BR->rnR') (src/tt_als.py:79-83)."""
-        result = jnp.zeros(shape, dtype=config.dtype())
-        for i in self._data.keys():
-            contrib = jnp.einsum(
+        cols = {
+            i: jnp.einsum(
                 "br,bnB,BR->rnR", Xb_k[i], nrmsc * self._data[i][self._idx], Xb_kp1[i]
             )
-            result = result.at[:, i].add(contrib)
-        return result
+            for i in self._data.keys()
+        }
+        zero = jnp.zeros(shape[:1] + shape[2:], dtype=config.dtype())
+        return jnp.stack([cols.get(i, zero) for i in range(shape[1])], axis=1)
 
 
 class TTBlockMatrix:
@@ -235,82 +236,81 @@ class TTBlockMatrixView:
 
     def block_local_product(self, XAX_k, XAX_kp1, x_core) -> jax.Array:
         """y[:, i] += K_ij x[:, j] in the local projected basis
-        (src/tt_als.py:190-200)."""
-        result = jnp.zeros_like(x_core)
+        (src/tt_als.py:190-200).  Column contributions are accumulated and
+        stacked once — scatter-free for XLA."""
+        cols = {}
+        def acc(i, val):
+            cols[i] = val if i not in cols else cols[i] + val
         for (i, j) in self._data.keys():
             A_k = self._data[i, j][self._idx]
-            result = result.at[:, i].add(
-                jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, j])
-            )
+            acc(i, jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, j]))
             if (i, j) in self._transposes:
                 k, t = self._transposes[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("lsr,smnS,LSR,lmL->rnR", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t])
-                )
+                acc(k, jnp.einsum("lsr,smnS,LSR,lmL->rnR", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t]))
             if (i, j) in self._aliases:
                 k, t = self._aliases[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t])
-                )
-        return result
+                acc(k, jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t]))
+        zero = jnp.zeros(
+            (x_core.shape[0], x_core.shape[2], x_core.shape[3]), dtype=x_core.dtype
+        )
+        return jnp.stack(
+            [cols.get(i, zero) for i in range(x_core.shape[1])], axis=1
+        )
 
     def compressed_block_local_product(self, ZAX_k, ZAX_kp1, x_core, shape) -> jax.Array:
         """Residual projection with z-bases on both sides
         (src/tt_als.py:202-212)."""
-        result = jnp.zeros(shape, dtype=config.dtype())
+        cols = {}
+
+        def acc(i, val):
+            cols[i] = val if i not in cols else cols[i] + val
+
         for (i, j) in self._data.keys():
             A_k = self._data[i, j][self._idx]
-            result = result.at[:, i].add(
-                jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, j])
-            )
+            acc(i, jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, j]))
             if (i, j) in self._transposes:
                 k, t = self._transposes[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("lsr,snmS,LSR,rnR->lmL", ZAX_k[k, t], A_k, ZAX_kp1[k, t], x_core[:, t])
-                )
+                acc(k, jnp.einsum("lsr,snmS,LSR,rnR->lmL", ZAX_k[k, t], A_k, ZAX_kp1[k, t], x_core[:, t]))
             if (i, j) in self._aliases:
                 k, t = self._aliases[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, t])
-                )
-        return result
+                acc(k, jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, t]))
+        zero = jnp.zeros(shape[:1] + shape[2:], dtype=config.dtype())
+        return jnp.stack([cols.get(i, zero) for i in range(shape[1])], axis=1)
 
     def lcompressed_block_local_product(self, ZAX_k, XAX_kp1, x_core, shape) -> jax.Array:
         """z-basis left / x-basis right projection (src/tt_als.py:215-225)."""
-        result = jnp.zeros(shape, dtype=config.dtype())
+        cols = {}
+
+        def acc(i, val):
+            cols[i] = val if i not in cols else cols[i] + val
+
         for (i, j) in self._data.keys():
             A_k = self._data[i, j][self._idx]
-            result = result.at[:, i].add(
-                jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, j])
-            )
+            acc(i, jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, j]))
             if (i, j) in self._transposes:
                 k, t = self._transposes[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("lsr,snmS,RSL,rnR->lmL", ZAX_k[k, t], A_k, XAX_kp1[i, j], x_core[:, t])
-                )
+                acc(k, jnp.einsum("lsr,snmS,RSL,rnR->lmL", ZAX_k[k, t], A_k, XAX_kp1[i, j], x_core[:, t]))
             if (i, j) in self._aliases:
                 k, t = self._aliases[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t])
-                )
-        return result
+                acc(k, jnp.einsum("lsr,smnS,LSR,rnR->lmL", ZAX_k[i, j], A_k, XAX_kp1[i, j], x_core[:, t]))
+        zero = jnp.zeros(shape[:1] + shape[2:], dtype=config.dtype())
+        return jnp.stack([cols.get(i, zero) for i in range(shape[1])], axis=1)
 
     def rcompressed_block_local_product(self, XAX_k, ZAX_kp1, x_core, shape) -> jax.Array:
         """x-basis left / z-basis right projection (src/tt_als.py:228-238)."""
-        result = jnp.zeros(shape, dtype=config.dtype())
+        cols = {}
+
+        def acc(i, val):
+            cols[i] = val if i not in cols else cols[i] + val
+
         for (i, j) in self._data.keys():
             A_k = self._data[i, j][self._idx]
-            result = result.at[:, i].add(
-                jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, j])
-            )
+            acc(i, jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, j]))
             if (i, j) in self._transposes:
                 k, t = self._transposes[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("rsl,snmS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[k, t], x_core[:, t])
-                )
+                acc(k, jnp.einsum("rsl,snmS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[k, t], x_core[:, t]))
             if (i, j) in self._aliases:
                 k, t = self._aliases[i, j]
-                result = result.at[:, k].add(
-                    jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, t])
-                )
-        return result
+                acc(k, jnp.einsum("lsr,smnS,LSR,rnR->lmL", XAX_k[i, j], A_k, ZAX_kp1[i, j], x_core[:, t]))
+        zero = jnp.zeros(shape[:1] + shape[2:], dtype=config.dtype())
+        return jnp.stack([cols.get(i, zero) for i in range(shape[1])], axis=1)

@@ -28,6 +28,7 @@ from ttipm_tpu import config
 from ttipm_tpu.ops.rounding import (
     add_kick_rank,
     add_kick_rank_rev,
+    pad_bond_factors,
     prune_singular_vals,
 )
 from ttipm_tpu.ops.tt import TT, tt_inner_prod, tt_normalise, tt_ranks
@@ -193,6 +194,7 @@ def _step_size_window_solve(
         v = s[:, None] * v_t
         r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
         s1, s2, r = add_kick_rank_rev(v[:r].T, u[:, :r].T, 4, rng)
+        s1, s2, r = pad_bond_factors(s1, s2, r, orth="right")
         sol2_new = s2.reshape(r, shape[2], shape[3])
         sol1_new = s1.reshape(shape[0], shape[1], r)
     else:
@@ -201,6 +203,7 @@ def _step_size_window_solve(
         u1 = u[:, :r]
         v2 = s[:r, None] * v_t[:r]
         s1, s2, r = add_kick_rank(u1, v2, 4, rng)
+        s1, s2, r = pad_bond_factors(s1, s2, r)
         sol1_new = s1.reshape(shape[0], shape[1], r)
         sol2_new = s2.reshape(r, shape[2], shape[3])
     return sol1_new, sol2_new, float(step_size), old_res
@@ -419,12 +422,14 @@ def _eigen_window_solve(sol1, sol2, XAX_l, A_k, A_k1, XAX_r, trunc_tol, eps,
         v = s[:, None] * v_t
         r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
         s1, s2, r = add_kick_rank_rev(v[:r].T, u[:, :r].T, 4, rng)
+        s1, s2, r = pad_bond_factors(s1, s2, r, orth="right")
         sol2_new = s2.reshape(r, shape[2], shape[3])
         sol1_new = s1.reshape(shape[0], shape[1], r)
     else:
         u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
         r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
         s1, s2, r = add_kick_rank(u[:, :r], s[:r, None] * v_t[:r], 4, rng)
+        s1, s2, r = pad_bond_factors(s1, s2, r)
         sol1_new = s1.reshape(shape[0], shape[1], r)
         sol2_new = s2.reshape(r, shape[2], shape[3])
     return sol1_new, sol2_new, old_res

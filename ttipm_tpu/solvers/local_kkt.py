@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jla
-import jax.scipy.sparse.linalg as jsp_sparse
+from ttipm_tpu.solvers.lgmres import gmres_restarted
 import numpy as np
 
 from ttipm_tpu import config
@@ -53,14 +53,147 @@ def _finite(x) -> bool:
     return bool(jnp.all(jnp.isfinite(x)))
 
 
+# --- fused jitted kernels (cached per operand-shape signature) -------------
+
+@jax.jit
+def _dense_eq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21, p21r,
+                     p22l, a22, p22r, inv_I, rhs):
+    """Whole equality Schur chain as one compiled kernel."""
+    r, _, n, R = rhs.shape
+    m = r * n * R
+    mR_p = rhs[:, 0].reshape(m, 1)
+    mR_d = rhs[:, 1].reshape(m, 1)
+    mR_c = rhs[:, 2].reshape(m, 1)
+    L_X_I_inv = jnp.einsum("lsr,smnS,LSR->lmLrnR", p22l, a22, p22r).reshape(m, m)
+    L_X_I_inv = L_X_I_inv * inv_I.reshape(1, -1)
+    mL_eq = jnp.einsum("lsr,smnS,LSR->lmLrnR", p01l, a01, p01r).reshape(m, m)
+    L_L_Z = jnp.linalg.cholesky(
+        jnp.einsum("lsr,smnS,LSR->lmLrnR", p21l, a21, p21r).reshape(m, m)
+    )
+    b = mR_p - mL_eq @ _chol_solve(L_L_Z, mR_c - L_X_I_inv @ mR_d)
+    A = _chol_solve(L_L_Z, L_X_I_inv)
+    A = mL_eq @ (A @ mL_eq.T)
+    A = A + jnp.einsum("lsr,smnS,LSR->lmLrnR", p00l, a00, p00r).reshape(m, m)
+    A = A + 1e-11 * jnp.eye(m, dtype=A.dtype)
+    y = jnp.linalg.solve(A, b)
+    y3 = y.reshape(r, n, R)
+    z = inv_I * (
+        rhs[:, 1] - jnp.einsum("lsr,smnS,LSR,lmL->rnR", p01l, a01, p01r, y3)
+    )
+    x = _chol_solve(
+        L_L_Z,
+        mR_c - jnp.einsum("lsr,smnS,LSR,rnR->lmL", p22l, a22, p22r, z).reshape(m, 1),
+    )
+    return jnp.stack([y3, x.reshape(r, n, R), z], axis=1)
+
+
+@jax.jit
+def _reduced_matvec_eq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21,
+                              p21r, p22l, a22, p22r, inv_I, vec):
+    r, _, n = p00l.shape[0], 0, a00.shape[1]
+    R = p00r.shape[0]
+    yx = vec.reshape(2, r, n, R)
+    dy, dx = yx[0], yx[1]
+    out0 = jnp.einsum("lsr,smnS,LSR,rnR->lmL", p00l, a00, p00r, dy)
+    out0 = out0 + jnp.einsum("lsr,smnS,LSR,rnR->lmL", p01l, a01, p01r, dx)
+    dz = -inv_I * jnp.einsum("lsr,smnS,LSR,lmL->rnR", p01l, a01, p01r, dy)
+    out1 = jnp.einsum("lsr,smnS,LSR,rnR->lmL", p21l, a21, p21r, dx)
+    out1 = out1 + jnp.einsum("lsr,smnS,LSR,rnR->lmL", p22l, a22, p22r, dz)
+    return jnp.stack([out0, out1]).reshape(-1)
+
+
+@jax.jit
+def _dense_ineq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21, p21r,
+                       p22l, a22, p22r, p31l, a31, p31r, p33l, a33, p33r,
+                       inv_I, rhs):
+    """Whole inequality two-level Schur chain as one compiled kernel."""
+    r, _, n, R = rhs.shape
+    m = r * n * R
+    L_L_Z = jnp.linalg.cholesky(
+        jnp.einsum("lsr,smnS,LSR->lmLrnR", p21l, a21, p21r).reshape(m, m)
+    )
+    mR_p = rhs[:, 0].reshape(m, 1)
+    mR_d = rhs[:, 1].reshape(m, 1)
+    mR_c = rhs[:, 2].reshape(m, 1)
+    mR_t = rhs[:, 3].reshape(m, 1)
+    Lz_inv_Rc = _chol_solve(L_L_Z, mR_c)
+    Lz_inv_Lx = _chol_solve(
+        L_L_Z, jnp.einsum("lsr,smnS,LSR->lmLrnR", p22l, a22, p22r).reshape(m, m)
+    )
+    mL_eq = jnp.einsum("lsr,smnS,LSR->lmLrnR", p01l, a01, p01r).reshape(m, m)
+    T_op = jnp.einsum("lsr,smnS,LSR->lmLrnR", p31l, a31, p31r).reshape(m, m)
+    Lz_inv_Lx_scaled = Lz_inv_Lx * inv_I.reshape(1, -1)
+    u = mR_p - mL_eq @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
+    v = mR_t - T_op @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
+    A = jnp.einsum("lsr,smnS,LSR->lmLrnR", p00l, a00, p00r).reshape(m, m)
+    A = A + mL_eq @ (Lz_inv_Lx_scaled @ mL_eq.T)
+    D = jnp.einsum("lsr,smnS,LSR->lmLrnR", p33l, a33, p33r).reshape(m, m)
+    D = D + T_op @ Lz_inv_Lx
+    D = D + 1e-11 * jnp.eye(m, dtype=D.dtype)
+    TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
+    YT = mL_eq @ Lz_inv_Lx
+    lu, piv = jla.lu_factor(D)
+    rhs_y = u - YT @ jla.lu_solve((lu, piv), v)
+    lhs_y = A - YT @ jla.lu_solve((lu, piv), TY)
+    y = jnp.linalg.solve(lhs_y, rhs_y)
+    t = jla.lu_solve((lu, piv), v - TY @ y)
+    y3 = y.reshape(r, n, R)
+    t3 = t.reshape(r, n, R)
+    z3 = (
+        inv_I * (rhs[:, 1] - jnp.einsum("lsr,smnS,LSR,lmL->rnR", p01l, a01, p01r, y3))
+        - t3
+    )
+    x = _chol_solve(
+        L_L_Z,
+        mR_c - jnp.einsum("lsr,smnS,LSR,rnR->lmL", p22l, a22, p22r, z3).reshape(m, 1),
+    )
+    return jnp.stack([y3, x.reshape(r, n, R), z3, t3], axis=1)
+
+
+@jax.jit
+def _reduced_matvec_ineq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21,
+                                p21r, p22l, a22, p22r, p31l, a31, p31r,
+                                p33l, a33, p33r, inv_I, vec):
+    r = p00l.shape[0]
+    n = a00.shape[1]
+    R = p00r.shape[0]
+    yxt = vec.reshape(3, r, n, R)
+    dy, dx, dt = yxt[0], yxt[1], yxt[2]
+    out0 = jnp.einsum("lsr,smnS,LSR,rnR->lmL", p00l, a00, p00r, dy)
+    out0 = out0 + jnp.einsum("lsr,smnS,LSR,rnR->lmL", p01l, a01, p01r, dx)
+    dz = -inv_I * jnp.einsum("lsr,smnS,LSR,lmL->rnR", p01l, a01, p01r, dy) - dt
+    out1 = jnp.einsum("lsr,smnS,LSR,rnR->lmL", p21l, a21, p21r, dx)
+    out1 = out1 + jnp.einsum("lsr,smnS,LSR,rnR->lmL", p22l, a22, p22r, dz)
+    out2 = jnp.einsum("lsr,smnS,LSR,rnR->lmL", p31l, a31, p31r, dx)
+    out2 = out2 + jnp.einsum("lsr,smnS,LSR,rnR->lmL", p33l, a33, p33r, dt)
+    return jnp.stack([out0, out1, out2]).reshape(-1)
+
+
+def _eq_operands(XAX_k, block_A_k, XAX_k1):
+    return (
+        XAX_k[0, 0], block_A_k[0, 0], XAX_k1[0, 0],
+        XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1],
+        XAX_k[2, 1], block_A_k[2, 1], XAX_k1[2, 1],
+        XAX_k[2, 2], block_A_k[2, 2], XAX_k1[2, 2],
+    )
+
+
+def _ineq_operands(XAX_k, block_A_k, XAX_k1):
+    return _eq_operands(XAX_k, block_A_k, XAX_k1) + (
+        XAX_k[3, 1], block_A_k[3, 1], XAX_k1[3, 1],
+        XAX_k[3, 3], block_A_k[3, 3], XAX_k1[3, 3],
+    )
+
+
 def _local_rhs(Xb_k, block_b_k, Xb_k1, x_shape, rows):
-    rhs = jnp.zeros(x_shape, dtype=config.dtype())
-    for i in rows:
-        if i in block_b_k:
-            rhs = rhs.at[:, i].set(
-                jnp.einsum("br,bmB,BR->rmR", Xb_k[i], block_b_k[i], Xb_k1[i])
-            )
-    return rhs
+    zero = jnp.zeros((x_shape[0], x_shape[2], x_shape[3]), dtype=config.dtype())
+    cols = [
+        jnp.einsum("br,bmB,BR->rmR", Xb_k[i], block_b_k[i], Xb_k1[i])
+        if i in block_b_k
+        else zero
+        for i in rows
+    ]
+    return jnp.stack(cols, axis=1)
 
 
 def ipm_local_solver(
@@ -91,45 +224,9 @@ def ipm_local_solver(
 
     if dense:
         # Schur elimination: dZ out via inv_I, chol(Lz), then the Y-Schur
-        # system (src/tt_ipm.py:196-223).
-        mR_p = rhs[:, 0].reshape(m, 1)
-        mR_d = rhs[:, 1].reshape(m, 1)
-        mR_c = rhs[:, 2].reshape(m, 1)
-        L_X_I_inv = _proj_block(XAX_k[2, 2], block_A_k[2, 2], XAX_k1[2, 2], m)
-        L_X_I_inv = L_X_I_inv * inv_I.reshape(1, -1)
-        mL_eq = _proj_block(XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1], m)
-        L_L_Z = jnp.linalg.cholesky(
-            _proj_block(XAX_k[2, 1], block_A_k[2, 1], XAX_k1[2, 1], m)
-        )
-        b = mR_p - mL_eq @ _chol_solve(L_L_Z, mR_c - L_X_I_inv @ mR_d)
-        A = _chol_solve(L_L_Z, L_X_I_inv)
-        A = mL_eq @ (A @ mL_eq.T)
-        A = A + _proj_block(XAX_k[0, 0], block_A_k[0, 0], XAX_k1[0, 0], m)
-        A = A + 1e-11 * jnp.eye(m, dtype=A.dtype)
-        y = jnp.linalg.solve(A, b)
-        z = inv_I.reshape(-1, 1) * (
-            mR_d
-            - _apply_block_T(
-                XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1],
-                y.reshape(x_shape[0], x_shape[2], x_shape[3]),
-            ).reshape(-1, 1)
-        )
-        x = _chol_solve(
-            L_L_Z,
-            mR_c
-            - _apply_block(
-                XAX_k[2, 2], block_A_k[2, 2], XAX_k1[2, 2],
-                z.reshape(x_shape[0], x_shape[2], x_shape[3]),
-            ).reshape(-1, 1),
-        )
-        cand = jnp.stack(
-            [
-                y.reshape(x_shape[0], x_shape[2], x_shape[3]),
-                x.reshape(x_shape[0], x_shape[2], x_shape[3]),
-                z.reshape(x_shape[0], x_shape[2], x_shape[3]),
-            ],
-            axis=1,
-        )
+        # system (src/tt_ipm.py:196-223) — one fused compiled kernel.
+        cand = _dense_eq_kernel(*_eq_operands(XAX_k, block_A_k, XAX_k1),
+                                inv_I, rhs)
         if _finite(cand):
             solution_now = cand
         else:
@@ -157,17 +254,10 @@ def _iterative_eq(XAX_k, block_A_k, XAX_k1, rhs, inv_I, previous_solution,
     """GMRES on the dZ-eliminated 2-block operator (replaces the Cython
     ``MatVecWrapper`` + PETSc LGMRES of cy_src/lgmres_cy.pyx:203-377)."""
     shape3 = (x_shape[0], x_shape[2], x_shape[3])
+    operands = _eq_operands(XAX_k, block_A_k, XAX_k1)
 
     def reduced_matvec(vec):
-        yx = vec.reshape(2, *shape3)
-        dy, dx = yx[0], yx[1]
-        out0 = _apply_block(XAX_k[0, 0], block_A_k[0, 0], XAX_k1[0, 0], dy)
-        out0 = out0 + _apply_block(XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1], dx)
-        # row "centrality" with dZ = -inv_I * (L^T dy):
-        dz = -inv_I * _apply_block_T(XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1], dy)
-        out1 = _apply_block(XAX_k[2, 1], block_A_k[2, 1], XAX_k1[2, 1], dx)
-        out1 = out1 + _apply_block(XAX_k[2, 2], block_A_k[2, 2], XAX_k1[2, 2], dz)
-        return jnp.stack([out0, out1]).reshape(-1)
+        return _reduced_matvec_eq_kernel(*operands, inv_I, vec)
 
     local_rhs = jnp.stack(
         [
@@ -185,9 +275,8 @@ def _iterative_eq(XAX_k, block_A_k, XAX_k1, rhs, inv_I, previous_solution,
         jnp.linalg.norm(rhs_vec)
     )
     target = rhs_vec - prev_image if use_prev else rhs_vec
-    sol, _ = jsp_sparse.gmres(
-        reduced_matvec, target, tol=rtol, restart=min(2 * m, 100), maxiter=5,
-        solve_method="batched",
+    sol, _ = gmres_restarted(
+        reduced_matvec, target, rtol=rtol, restart=min(2 * m, 100), maxiter=5
     )
     if use_prev:
         sol = sol + prev_vec
@@ -227,53 +316,10 @@ def ipm_local_solver_ineq(
 
     if dense:
         # Two-level Schur: eliminate dZ (inv_I) and dX (chol Lz), then the
-        # coupled (dY, dT) system via LU of D (src/tt_ipm.py:298-334).
-        L_L_Z = jnp.linalg.cholesky(
-            _proj_block(XAX_k[2, 1], block_A_k[2, 1], XAX_k1[2, 1], m)
-        )
-        mR_p = rhs[:, 0].reshape(m, 1)
-        mR_d = rhs[:, 1].reshape(m, 1)
-        mR_c = rhs[:, 2].reshape(m, 1)
-        mR_t = rhs[:, 3].reshape(m, 1)
-        Lz_inv_Rc = _chol_solve(L_L_Z, mR_c)
-        Lz_inv_Lx = _chol_solve(
-            L_L_Z, _proj_block(XAX_k[2, 2], block_A_k[2, 2], XAX_k1[2, 2], m)
-        )
-        mL_eq = _proj_block(XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1], m)
-        T_op = _proj_block(XAX_k[3, 1], block_A_k[3, 1], XAX_k1[3, 1], m)
-        Lz_inv_Lx_scaled = Lz_inv_Lx * inv_I.reshape(1, -1)
-        u = mR_p - mL_eq @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
-        v = mR_t - T_op @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
-        A = _proj_block(XAX_k[0, 0], block_A_k[0, 0], XAX_k1[0, 0], m)
-        A = A + mL_eq @ (Lz_inv_Lx_scaled @ mL_eq.T)
-        D = _proj_block(XAX_k[3, 3], block_A_k[3, 3], XAX_k1[3, 3], m)
-        D = D + T_op @ Lz_inv_Lx
-        D = D + 1e-11 * jnp.eye(m, dtype=D.dtype)
-        TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T  # dT-row coupling to dY
-        YT = mL_eq @ Lz_inv_Lx                    # dY-row coupling to dT
-        lu, piv = jla.lu_factor(D)
-        rhs_y = u - YT @ jla.lu_solve((lu, piv), v)
-        lhs_y = A - YT @ jla.lu_solve((lu, piv), TY)
-        y = jnp.linalg.solve(lhs_y, rhs_y)
-        t = jla.lu_solve((lu, piv), v - TY @ y)
-        y3 = y.reshape(x_shape[0], x_shape[2], x_shape[3])
-        t3 = t.reshape(x_shape[0], x_shape[2], x_shape[3])
-        z3 = (
-            inv_I
-            * (
-                rhs[:, 1]
-                - _apply_block_T(XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1], y3)
-            )
-            - t3
-        )
-        x = _chol_solve(
-            L_L_Z,
-            mR_c
-            - _apply_block(XAX_k[2, 2], block_A_k[2, 2], XAX_k1[2, 2], z3).reshape(-1, 1),
-        )
-        cand = jnp.stack(
-            [y3, x.reshape(x_shape[0], x_shape[2], x_shape[3]), z3, t3], axis=1
-        )
+        # coupled (dY, dT) system via LU of D (src/tt_ipm.py:298-334) —
+        # one fused compiled kernel.
+        cand = _dense_ineq_kernel(*_ineq_operands(XAX_k, block_A_k, XAX_k1),
+                                  inv_I, rhs)
         if _finite(cand):
             solution_now = cand
         else:
@@ -301,21 +347,10 @@ def _iterative_ineq(XAX_k, block_A_k, XAX_k1, rhs, inv_I, previous_solution,
     """GMRES on the dZ-eliminated 3-block (dY, dX, dT) operator (replaces
     ``IneqMatVecWrapper``, cy_src/lgmres_cy.pyx:379-510)."""
     shape3 = (x_shape[0], x_shape[2], x_shape[3])
+    operands = _ineq_operands(XAX_k, block_A_k, XAX_k1)
 
     def reduced_matvec(vec):
-        yxt = vec.reshape(3, *shape3)
-        dy, dx, dt = yxt[0], yxt[1], yxt[2]
-        out0 = _apply_block(XAX_k[0, 0], block_A_k[0, 0], XAX_k1[0, 0], dy)
-        out0 = out0 + _apply_block(XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1], dx)
-        dz = (
-            -inv_I * _apply_block_T(XAX_k[0, 1], block_A_k[0, 1], XAX_k1[0, 1], dy)
-            - dt
-        )
-        out1 = _apply_block(XAX_k[2, 1], block_A_k[2, 1], XAX_k1[2, 1], dx)
-        out1 = out1 + _apply_block(XAX_k[2, 2], block_A_k[2, 2], XAX_k1[2, 2], dz)
-        out2 = _apply_block(XAX_k[3, 1], block_A_k[3, 1], XAX_k1[3, 1], dx)
-        out2 = out2 + _apply_block(XAX_k[3, 3], block_A_k[3, 3], XAX_k1[3, 3], dt)
-        return jnp.stack([out0, out1, out2]).reshape(-1)
+        return _reduced_matvec_ineq_kernel(*operands, inv_I, vec)
 
     local_rhs = jnp.stack(
         [
@@ -336,9 +371,8 @@ def _iterative_ineq(XAX_k, block_A_k, XAX_k1, rhs, inv_I, previous_solution,
         jnp.linalg.norm(rhs_vec)
     )
     target = rhs_vec - prev_image if use_prev else rhs_vec
-    sol, _ = jsp_sparse.gmres(
-        reduced_matvec, target, tol=rtol, restart=min(3 * m, 100), maxiter=5,
-        solve_method="batched",
+    sol, _ = gmres_restarted(
+        reduced_matvec, target, rtol=rtol, restart=min(3 * m, 100), maxiter=5
     )
     if use_prev:
         sol = sol + prev_vec
