@@ -148,3 +148,22 @@ def test_baseline_cgal_maxcut():
     # the full-X CGAL iterate approaches diagonal feasibility
     assert np.abs(np.diag(X) - bias_vec.ravel()).max() < 0.1
     assert np.linalg.eigvalsh(0.5 * (X + X.T)).min() >= -1e-8
+
+
+def test_ipm_smoke_dim2():
+    """Fast default-suite end-to-end check: full IPM machinery on a dim-2
+    MaxCut instance (4x4 SDP)."""
+    np.random.seed(11)
+    from ttipm_tpu.models.maxcut import create_problem
+
+    obj_tt, L_tt, bias_tt, lag_y = create_problem(2, 1)
+    lag_maps = {"y": tt_reshape(lag_y, (4, 4))}
+    X, Y, T, Z, info = tt_ipm(
+        lag_maps, obj_tt, L_tt, bias_tt,
+        max_iter=22, gap_tol=3e-4, op_tol=1e-4, abs_tol=1e-3,
+        warm_up=3, aho_direction=False, mals_restarts=2, max_refinement=5,
+        lambdaStar=1.0,
+    )
+    slack, feas, dfeas = solve_metrics(X, Y, T, Z, obj_tt, L_tt, bias_tt)
+    assert slack < 1e-3
+    assert feas < 1e-3

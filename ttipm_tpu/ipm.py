@@ -666,12 +666,19 @@ def tt_ipm(
     r_max=1000,
     lambdaStar=1,
     lambdaStarIneq=1,
+    checkpoint_path=None,
+    checkpoint_every=1,
+    resume_from=None,
     verbose=False,
 ):
     """TT interior-point driver (src/tt_ipm.py:901-1099).
 
     Returns ``(X_tt, Y_tt, T_tt, Z_tt, results)`` with results carrying the
     iteration count, final TT ranks and the final ``IPMStatus``.
+
+    ``checkpoint_path``/``checkpoint_every`` persist the iterates every N
+    iterations; ``resume_from`` restarts from a stored checkpoint (an
+    on-disk recovery layer the reference lacks, SURVEY.md §5).
     """
     dim = len(obj_tt)
     centrality_tol = gap_tol / np.sqrt(dim)
@@ -733,6 +740,19 @@ def tt_ipm(
     X_tt, Y_tt, Z_tt, T_tt = _initialise(ineq_mask, status, dim, lambdaStar, lambdaStarIneq)
 
     iteration = 0
+    if resume_from is not None:
+        from ttipm_tpu.utils.checkpoint import load_ipm_checkpoint
+
+        ckpt = load_ipm_checkpoint(resume_from)
+        X_tt = ckpt["X"] or X_tt
+        Y_tt = ckpt["Y"] or Y_tt
+        Z_tt = ckpt["Z"] or Z_tt
+        T_tt = ckpt["T"] if ckpt["T"] is not None else T_tt
+        iteration = int(ckpt["iteration"])
+        status.eta = float(ckpt["scalars"].get("eta", status.eta))
+        if verbose:
+            print(f"resumed from {resume_from} at iteration {iteration}")
+
     finishing_steps = max_refinement
     prev_errors = {"primal": np.inf, "dual": np.inf, "centrality": np.inf}
     lhs = lhs_skeleton
@@ -854,6 +874,19 @@ def tt_ipm(
         prev_errors["primal"] = status.primal_error
         prev_errors["dual"] = status.dual_error
         prev_errors["centrality"] = status.centrality_error
+
+        if checkpoint_path is not None and iteration % max(checkpoint_every, 1) == 0:
+            from ttipm_tpu.utils.checkpoint import save_ipm_checkpoint
+
+            save_ipm_checkpoint(
+                checkpoint_path, X_tt, Y_tt, Z_tt, T_tt, iteration=iteration,
+                scalars={
+                    "eta": status.eta,
+                    "mu": status.mu,
+                    "primal_error": status.primal_error,
+                    "dual_error": status.dual_error,
+                },
+            )
 
     if verbose:
         print(f"--- terminated after {iteration} iterations ---")
