@@ -86,36 +86,48 @@ def _residual_rank_backoff(
     projected residual stays under ``trunc_lim`` (src/tt_als.py:338-347).
 
     ``u``/``v`` are the SVD factors in sweep-direction layout; returns the
-    kept rank.  Each probe subtracts one rank-1 contribution from the
-    residual, so the loop costs one local product per dropped rank.
+    kept rank.  All drop candidates are evaluated in ONE batched local
+    product + a cumulative sum of residual norms (the reference probes
+    them sequentially, one local product per dropped rank,
+    src/tt_als.py:340-347).
     """
     if bwd:
         sol = jnp.reshape((u[:, :r_start] @ v[:r_start]).T, (rx_k, block_size, n_k, rx_k1))
+        width = int(u.shape[1])
     else:
         sol = jnp.einsum("rbR,RdK->rdbK", u[:, :, :r_start].reshape(rx_k, n_k, r_start),
                          v[:r_start].reshape(r_start, block_size, rx_k1))
-    res = block_A_k.block_local_product(XAX_k, XAX_k1, sol) - rhs
-    r = r_start
-    for r in range(r_start - 1, 0, -1):
-        if bwd:
-            rank1 = jnp.reshape(
-                (u[:, r : r + 1] @ v[r : r + 1, :]).T, (rx_k, block_size, n_k, rx_k1)
-            )
-        else:
-            rank1 = jnp.einsum(
-                "rbR,RdK->rdbK",
-                u[:, :, r : r + 1].reshape(rx_k, n_k, 1),
-                v[r : r + 1].reshape(1, block_size, rx_k1),
-            )
-        res = res - block_A_k.block_local_product(XAX_k, XAX_k1, rank1)
-        if float(jnp.linalg.norm(res)) / norm_rhs > trunc_lim:
-            break
+        width = int(u.shape[-1])
+    res0 = block_A_k.block_local_product(XAX_k, XAX_k1, sol) - rhs
+    if r_start <= 1:
+        return min(2, width)
+    if float(jnp.linalg.norm(res0)) / norm_rhs > trunc_lim:
+        # even the full-rank candidate violates the limit: keep r_start
+        # (matches the reference loop breaking on its first probe).
+        return min(r_start, width)
+
+    # rank-1 terms in drop order q = r_start-1 .. 1
+    if bwd:
+        # term_q core = (u_q v_q)^T reshaped (rx, block, n, rx1)
+        terms = jnp.einsum("mq,qp->qpm", u[:, 1:r_start][:, ::-1], v[1:r_start][::-1])
+        terms = terms.reshape(r_start - 1, rx_k, block_size, n_k, rx_k1)
+    else:
+        terms = jnp.einsum(
+            "rbq,qdK->qrdbK",
+            u[:, :, 1:r_start][:, :, ::-1].reshape(rx_k, n_k, r_start - 1),
+            v[1:r_start][::-1].reshape(r_start - 1, block_size, rx_k1),
+        )
+    K_terms = block_A_k.block_local_product_batched(XAX_k, XAX_k1, terms)
+    partial = res0[None] - jnp.cumsum(K_terms, axis=0)
+    norms = jnp.sqrt(jnp.sum(partial**2, axis=(1, 2, 3, 4)))
+    exceed = np.asarray(norms) / norm_rhs > trunc_lim
+    hits = np.nonzero(exceed)[0]
+    if hits.size == 0:
+        r = 1  # loop ran to completion in the reference
+    else:
+        r = r_start - 1 - int(hits[0])  # break index in the reference loop
     # Restore the last acceptable rank; clamp to the SVD width (the
     # reference's +1 overshoot relies on numpy's clamped slicing).
-    if bwd:
-        width = int(u.shape[1])
-    else:
-        width = int(u.shape[-1])
     return min(r + 1, width)
 
 

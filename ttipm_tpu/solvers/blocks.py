@@ -257,6 +257,31 @@ class TTBlockMatrixView:
             [cols.get(i, zero) for i in range(x_core.shape[1])], axis=1
         )
 
+    def block_local_product_batched(self, XAX_k, XAX_kp1, x_cores_q) -> jax.Array:
+        """Batched form of ``block_local_product`` over a leading axis q
+        (used to evaluate all rank-backoff candidates in one contraction).
+        ``x_cores_q``: (q, r, block, n, R) -> (q, r, block, n, R)."""
+        cols = {}
+
+        def acc(i, val):
+            cols[i] = val if i not in cols else cols[i] + val
+
+        for (i, j) in self._data.keys():
+            A_k = self._data[i, j][self._idx]
+            acc(i, jnp.einsum("lsr,smnS,LSR,qrnR->qlmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_cores_q[:, :, j]))
+            if (i, j) in self._transposes:
+                k, t = self._transposes[i, j]
+                acc(k, jnp.einsum("lsr,smnS,LSR,qlmL->qrnR", XAX_k[i, j], A_k, XAX_kp1[i, j], x_cores_q[:, :, t]))
+            if (i, j) in self._aliases:
+                k, t = self._aliases[i, j]
+                acc(k, jnp.einsum("lsr,smnS,LSR,qrnR->qlmL", XAX_k[i, j], A_k, XAX_kp1[i, j], x_cores_q[:, :, t]))
+        q, r = x_cores_q.shape[0], x_cores_q.shape[1]
+        zero = jnp.zeros((q, r, x_cores_q.shape[3], x_cores_q.shape[4]),
+                         dtype=x_cores_q.dtype)
+        return jnp.stack(
+            [cols.get(i, zero) for i in range(x_cores_q.shape[2])], axis=2
+        )
+
     def compressed_block_local_product(self, ZAX_k, ZAX_kp1, x_core, shape) -> jax.Array:
         """Residual projection with z-bases on both sides
         (src/tt_als.py:202-212)."""

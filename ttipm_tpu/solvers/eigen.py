@@ -18,6 +18,8 @@ LOBPCG (standard and generalized), so the entire path stays on device.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, Optional
 
 import jax
@@ -35,7 +37,7 @@ from ttipm_tpu.ops.tt import TT, tt_inner_prod, tt_normalise, tt_ranks
 from ttipm_tpu.ops.products import tt_fast_matrix_vec_mul
 from ttipm_tpu.solvers.amen import compute_phi_bck_A, compute_phi_fwd_A
 
-__all__ = ["tt_max_generalised_eigen", "tt_min_eig", "lobpcg_smallest"]
+__all__ = ["tt_max_generalised_eigen", "tt_min_eig", "lobpcg_smallest", "lobpcg_fused"]
 
 
 # ---------------------------------------------------------------------------
@@ -112,6 +114,203 @@ def lobpcg_smallest(
     return float(lam), x, res_norm
 
 
+# ---------------------------------------------------------------------------
+# Fused LOBPCG: whole iteration loop as one compiled lax.while_loop kernel
+# ---------------------------------------------------------------------------
+#
+# The eager LOBPCG pays ~15 dispatches per iteration x up to 300
+# iterations per window solve; this variant compiles once per
+# (kind, operand shapes) and runs the loop on device.  ``kind`` selects
+# the matvec structure:
+#   "w2"  — 2-core window, standard eig of a single operator
+#   "w2s" — 2-core window, shifted pencil  M = A/alpha + D
+#   "w2g" — 2-core window, generalized     D x = lam (A + 1e-12 I) x
+#   "w1", "w1s", "w1g" — single-core versions
+# Operands are passed as a flat tuple of arrays; x shape is derived from
+# the operand shapes (static under jit).
+
+def _mv2(phi_l, A_k, A_k1, phi_r, v):
+    r = phi_l.shape[2]
+    n = A_k.shape[2]
+    t = A_k1.shape[2]
+    R = phi_r.shape[2]
+    x = v.reshape(r, n, t, R)
+    return jnp.einsum("lsr,smnk,kptS,LSR,rntR->lmpL", phi_l, A_k, A_k1, phi_r, x).reshape(-1)
+
+
+def _mv1(phi_l, A_k, phi_r, v):
+    r = phi_l.shape[2]
+    n = A_k.shape[2]
+    R = phi_r.shape[2]
+    x = v.reshape(r, n, R)
+    return jnp.einsum("lsr,smnS,LSR,rnR->lmL", phi_l, A_k, phi_r, x).reshape(-1)
+
+
+def _make_matvecs(kind, ops, alpha):
+    if kind == "w2":
+        mv = lambda v: _mv2(*ops[:4], v)
+        bmv = None
+    elif kind == "w2s":
+        mv = lambda v: _mv2(*ops[:4], v) / alpha + _mv2(*ops[4:8], v)
+        bmv = None
+    elif kind == "w2g":
+        mv = lambda v: _mv2(*ops[:4], v)
+        bmv = lambda v: _mv2(*ops[4:8], v) + 1e-12 * v
+    elif kind == "w1":
+        mv = lambda v: _mv1(*ops[:3], v)
+        bmv = None
+    elif kind == "w1s":
+        mv = lambda v: _mv1(*ops[:3], v) / alpha + _mv1(*ops[3:6], v)
+        bmv = None
+    elif kind == "w1g":
+        mv = lambda v: _mv1(*ops[:3], v)
+        bmv = lambda v: _mv1(*ops[3:6], v) + 1e-12 * v
+    else:
+        raise ValueError(kind)
+    return mv, (bmv or (lambda v: v))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _lobpcg_fused(kind, ops, x0, tol, maxiter, alpha):
+    mv, bmv = _make_matvecs(kind, ops, alpha)
+    n = x0.size
+
+    def rr(W, AW, BW):
+        G_a = W.T @ AW
+        G_b = W.T @ BW
+        eb, Ub = jnp.linalg.eigh(0.5 * (G_b + G_b.T))
+        keep = eb > 1e-12 * jnp.max(jnp.abs(eb))
+        inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, eb, 1.0)), 0.0)
+        T = Ub * inv_sqrt[None, :]
+        H = T.T @ (0.5 * (G_a + G_a.T)) @ T
+        ev, Uv = jnp.linalg.eigh(H)
+        c = T @ Uv[:, 0]
+        return ev[0], W @ c
+
+    x = x0.reshape(-1)
+    nrm = jnp.linalg.norm(x)
+    x = jnp.where(nrm > 0, x / jnp.maximum(nrm, 1e-300),
+                  jnp.ones_like(x) / np.sqrt(n))
+    bx = bmv(x)
+    x = x / jnp.sqrt(jnp.abs(jnp.vdot(x, bx)) + 1e-300)
+    p = jnp.zeros_like(x)
+
+    def cond(state):
+        x, p, lam, res, it = state
+        return jnp.logical_and(it < maxiter, res > tol)
+
+    def body(state):
+        x, p, lam, res, it = state
+        ax = mv(x)
+        bx = bmv(x)
+        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+        r = ax - lam * bx
+        res = jnp.linalg.norm(r)
+        W = jnp.stack([x, r, p], axis=1)
+        W = W / jnp.maximum(jnp.linalg.norm(W, axis=0, keepdims=True), 1e-300)
+        AW = jnp.stack([mv(W[:, i]) for i in range(3)], axis=1)
+        BW = jnp.stack([bmv(W[:, i]) for i in range(3)], axis=1)
+        lam_new, x_new = rr(W, AW, BW)
+        p_new = x_new - x * jnp.vdot(x, x_new)
+        pn = jnp.linalg.norm(p_new)
+        p_new = jnp.where(pn < 1e-14, jnp.zeros_like(p_new), p_new / jnp.maximum(pn, 1e-300))
+        x_new = x_new / jnp.maximum(jnp.linalg.norm(x_new), 1e-300)
+        return (x_new, p_new, lam_new, res, it + 1)
+
+    init = (x, p, jnp.asarray(jnp.inf, dtype=x.dtype),
+            jnp.asarray(jnp.inf, dtype=x.dtype), jnp.asarray(0, dtype=jnp.int32))
+    x, p, lam, res, it = jax.lax.while_loop(cond, body, init)
+    # final Rayleigh quotient + residual of the returned vector
+    ax = mv(x)
+    bx = bmv(x)
+    lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+    res = jnp.linalg.norm(ax - lam * bx)
+    return lam, x, res
+
+
+def lobpcg_fused(kind, ops, x0, tol, maxiter, alpha=1.0):
+    """Host wrapper: returns (float eigval, eigvec, float residual)."""
+    lam, x, res = _lobpcg_fused(
+        kind, tuple(ops), x0,
+        jnp.asarray(tol, dtype=x0.dtype), int(maxiter),
+        jnp.asarray(alpha, dtype=x0.dtype),
+    )
+    return float(lam), x, float(res)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _dense_smallest(kind, ops, alpha):
+    """Dense smallest-eigenpair fallback for small windows: assemble the
+    projected operator and eigh it (the reference's dense eigsh path,
+    src/tt_als.py:957-994).  Returns (lam, vec)."""
+    def asm2(phi_l, A_k, A_k1, phi_r):
+        t = jnp.einsum("lsr,smnk,kptS,LSR->lmpLrntR", phi_l, A_k, A_k1, phi_r)
+        m = t.shape[0] * t.shape[1] * t.shape[2] * t.shape[3]
+        return t.reshape(m, m)
+
+    def asm1(phi_l, A_k, phi_r):
+        t = jnp.einsum("lsr,smnS,LSR->lmLrnR", phi_l, A_k, phi_r)
+        m = t.shape[0] * t.shape[1] * t.shape[2]
+        return t.reshape(m, m)
+
+    if kind == "w2":
+        M = asm2(*ops[:4])
+        B = None
+    elif kind == "w2s":
+        M = asm2(*ops[:4]) / alpha + asm2(*ops[4:8])
+        B = None
+    elif kind == "w2g":
+        M = asm2(*ops[:4])
+        B = asm2(*ops[4:8])
+    elif kind == "w1":
+        M = asm1(*ops[:3])
+        B = None
+    elif kind == "w1s":
+        M = asm1(*ops[:3]) / alpha + asm1(*ops[3:6])
+        B = None
+    elif kind == "w1g":
+        M = asm1(*ops[:3])
+        B = asm1(*ops[3:6])
+    else:
+        raise ValueError(kind)
+    M = 0.5 * (M + M.T)
+    if B is None:
+        ev, U = jnp.linalg.eigh(M)
+        return ev[0], U[:, 0]
+    B = 0.5 * (B + B.T) + 1e-11 * jnp.eye(B.shape[0], dtype=B.dtype)
+    L = jnp.linalg.cholesky(B)
+    import jax.scipy.linalg as _jla
+    W = _jla.solve_triangular(L, M, lower=True)
+    W = _jla.solve_triangular(L, W.T, lower=True)
+    ev, U = jnp.linalg.eigh(0.5 * (W + W.T))
+    v = _jla.solve_triangular(L.T, U[:, 0], lower=False)
+    return ev[0], v / jnp.linalg.norm(v)
+
+
+_DENSE_EIG_DIRECT = 256   # assemble+eigh outright (reference size_limit gate)
+_DENSE_EIG_LIMIT = 1024   # rescue ceiling when LOBPCG stalls
+
+
+def lobpcg_window(kind, ops, x0, tol, maxiter, alpha=1.0):
+    """Window eigensolve: dense eigh for small windows (mirrors the
+    reference's dense-eigsh gate, src/tt_als.py:956-996 — LOBPCG with k=1
+    can lock onto a non-extremal eigenpair on near-diagonal operators),
+    fused LOBPCG beyond, with a dense rescue when the iteration stalls."""
+    m = x0.size
+    if m <= _DENSE_EIG_DIRECT:
+        lam_d, xd = _dense_smallest(kind, tuple(ops), jnp.asarray(alpha, dtype=x0.dtype))
+        if np.isfinite(float(lam_d)):
+            return float(lam_d), xd.reshape(x0.shape), 0.0
+    lam, x, res = lobpcg_fused(kind, ops, x0, tol, maxiter, alpha=alpha)
+    if m <= _DENSE_EIG_LIMIT and (not np.isfinite(res) or res > max(100 * tol, 1e-7)):
+        lam_d, xd = _dense_smallest(
+            kind, tuple(ops), jnp.asarray(alpha, dtype=x0.dtype)
+        )
+        if np.isfinite(float(lam_d)) and float(lam_d) <= lam:
+            return float(lam_d), xd.reshape(x0.shape), 0.0
+    return lam, x, res
+
+
 def _maxiter_for(m: int) -> int:
     return max(20, min(300, 5 * int(m)))
 
@@ -156,23 +355,18 @@ def _step_size_window_solve(
 
     mv_A = _window_matvecs_2core(XAX_l, A_k, A_k1, XAX_r, shape)
     mv_D = _window_matvecs_2core(XDX_l, D_k, D_k1, XDX_r, shape)
+    ops_AD = (XAX_l, A_k, A_k1, XAX_r, XDX_l, D_k, D_k1, XDX_r)
 
-    def mv_M(v):
-        av = mv_A(v)
-        dv = mv_D(v)
-        return av / step_size + dv
-
-    lam, x, res = lobpcg_smallest(
-        mv_M, prev_vec, tol=eps, maxiter=_maxiter_for(min(m, 60))
+    lam, x, res = lobpcg_window(
+        "w2s", ops_AD, prev_vec, eps, _maxiter_for(min(m, 60)), alpha=step_size
     )
     sol_vec = x
     if lam < 0:
         # alpha too large: largest lambda with -Delta v = lambda A v, i.e.
         # smallest of (Delta, A); alpha <- min(alpha, 1/lambda_max).
-        lam_g, xg, res_g = lobpcg_smallest(
-            lambda v: mv_D(v), sol_vec, tol=eps,
-            maxiter=_maxiter_for(min(m, 60)),
-            b_matvec=lambda v: mv_A(v) + 1e-12 * v,
+        ops_DA = (XDX_l, D_k, D_k1, XDX_r, XAX_l, A_k, A_k1, XAX_r)
+        lam_g, xg, res_g = lobpcg_window(
+            "w2g", ops_DA, sol_vec, eps, _maxiter_for(min(m, 60))
         )
         lam_max = -lam_g
         if np.isfinite(lam_max) and lam_max > 0:
@@ -218,15 +412,15 @@ def _step_size_last_solve(prev, XDX_l, D_k, XDX_r, XAX_l, A_k, XAX_r, step_size,
     mv_A = _window_matvec_1core(XAX_l, A_k, XAX_r, shape)
     mv_D = _window_matvec_1core(XDX_l, D_k, XDX_r, shape)
 
-    def mv_M(v):
-        return mv_A(v) / step_size + mv_D(v)
-
     prev_vec = prev.reshape(-1)
-    lam, x, res = lobpcg_smallest(mv_M, prev_vec, tol=eps, maxiter=_maxiter_for(min(m, 60)))
+    lam, x, res = lobpcg_window(
+        "w1s", (XAX_l, A_k, XAX_r, XDX_l, D_k, XDX_r), prev_vec, eps,
+        _maxiter_for(min(m, 60)), alpha=step_size,
+    )
     if lam < 0:
-        lam_g, xg, _ = lobpcg_smallest(
-            mv_D, x, tol=eps, maxiter=_maxiter_for(min(m, 60)),
-            b_matvec=lambda v: mv_A(v) + 1e-12 * v,
+        lam_g, xg, _ = lobpcg_window(
+            "w1g", (XDX_l, D_k, XDX_r, XAX_l, A_k, XAX_r), x, eps,
+            _maxiter_for(min(m, 60)),
         )
         lam_max = -lam_g
         if np.isfinite(lam_max) and lam_max > 0:
@@ -410,8 +604,10 @@ def _eigen_window_solve(sol1, sol2, XAX_l, A_k, A_k1, XAX_r, trunc_tol, eps,
     shape = prev.shape
     m = int(np.prod(shape))
     mv = _window_matvecs_2core(XAX_l, A_k, A_k1, XAX_r, shape)
-    lam, x, _ = lobpcg_smallest(mv, prev.reshape(-1), tol=eps,
-                                maxiter=_maxiter_for(min(m, 60)))
+    lam, x, _ = lobpcg_window(
+        "w2", (XAX_l, A_k, A_k1, XAX_r), prev.reshape(-1), eps,
+        _maxiter_for(min(m, 60)),
+    )
     prev_vec = prev.reshape(-1)
     Ap = mv(prev_vec)
     lam_prev = jnp.vdot(prev_vec, Ap)
@@ -464,10 +660,9 @@ def tt_min_eig(
         for k in ks:
             prev = x_cores[k]
             shape = prev.shape
-            mv = _window_matvec_1core(XAX[k], A[k], XAX[k + 1], shape)
-            _, x, _ = lobpcg_smallest(
-                mv, prev.reshape(-1), tol=tol,
-                maxiter=_maxiter_for(min(int(np.prod(shape)), 60)),
+            _, x, _ = lobpcg_window(
+                "w1", (XAX[k], A[k], XAX[k + 1]), prev.reshape(-1), tol,
+                _maxiter_for(min(int(np.prod(shape)), 60)),
             )
             if direction > 0 and k < d - 1:
                 sol = x.reshape(rx[k] * N[k], rx[k + 1])
