@@ -70,7 +70,9 @@ def rank_bucket() -> int:
 
 def bucket_rank(r: int) -> int:
     """Smallest padded rank >= r: ranks 1,2 stay exact, larger ranks round
-    up to a multiple of the bucket."""
+    up to a multiple of the bucket.  (Power-of-two buckets were measured
+    slower at benchmark dims: the padding inflates the dense local-solve
+    cost faster than it saves compiles.)"""
     r = int(r)
     if _RANK_BUCKET <= 1 or r <= 2:
         return r
