@@ -24,40 +24,61 @@ import numpy as np
 __all__ = ["gmres_restarted"]
 
 
+def _basis_column(V, k):
+    """Column k of the basis via dynamic_slice — one compiled kernel for
+    every k (a static ``V[:, k]`` bakes the index and recompiles per k)."""
+    return jax.lax.dynamic_slice_in_dim(V, jnp.asarray(k), 1, axis=1)[:, 0]
+
+
+def _set_basis_column(V, k, w):
+    return jax.lax.dynamic_update_slice(V, w[:, None], (jnp.asarray(0), jnp.asarray(k)))
+
+
 def _arnoldi_cycle(matvec, b, x0, restart, atol):
-    """One GMRES(restart) cycle via modified Gram-Schmidt Arnoldi on the
-    host, device math per step.  Returns (x, residual_norm)."""
+    """One GMRES(restart) cycle: blocked CGS2 Arnoldi over a fixed-width,
+    zero-padded basis matrix (constant array shapes — every device op in
+    the loop hits the same compiled kernel), with a host-side small
+    least-squares solve.  Returns (x, residual_norm)."""
     r = b - matvec(x0)
     beta = float(jnp.linalg.norm(r))
     if beta <= atol or beta == 0.0:
         return x0, beta
-    V = [r / beta]
+    n = b.size
+    restart = min(restart, n)
+    V = jnp.zeros((n, restart + 1), dtype=b.dtype)
+    V = _set_basis_column(V, 0, r / beta)
     H = np.zeros((restart + 1, restart))
     k_used = 0
     for k in range(restart):
-        w = matvec(V[k])
-        for i in range(k + 1):
-            hik = jnp.vdot(V[i], w)
-            H[i, k] = float(hik)
-            w = w - hik * V[i]
+        w = matvec(_basis_column(V, k))
+        # CGS2 against the full zero-padded basis: padding columns are
+        # zero, so they contribute nothing to either pass.
+        h1 = V.T @ w
+        w = w - V @ h1
+        h2 = V.T @ w
+        w = w - V @ h2
+        h = np.asarray(h1 + h2)
+        H[: k + 1, k] = h[: k + 1]
         hk1 = float(jnp.linalg.norm(w))
         H[k + 1, k] = hk1
         k_used = k + 1
         if hk1 <= 1e-14 * beta:
             break
-        V.append(w / hk1)
-        # cheap residual estimate via the small least-squares problem
-        e1 = np.zeros(k_used + 1)
-        e1[0] = beta
-        y, res_ls, *_ = np.linalg.lstsq(H[: k_used + 1, :k_used], e1, rcond=None)
-        est = float(np.linalg.norm(H[: k_used + 1, :k_used] @ y - e1))
-        if est <= atol:
-            break
+        V = _set_basis_column(V, k + 1, w / hk1)
+        # periodic cheap residual estimate via the small LS problem
+        if (k + 1) % 5 == 0 or k == restart - 1:
+            e1 = np.zeros(k_used + 1)
+            e1[0] = beta
+            y, *_ = np.linalg.lstsq(H[: k_used + 1, :k_used], e1, rcond=None)
+            est = float(np.linalg.norm(H[: k_used + 1, :k_used] @ y - e1))
+            if est <= atol:
+                break
     e1 = np.zeros(k_used + 1)
     e1[0] = beta
     y, *_ = np.linalg.lstsq(H[: k_used + 1, :k_used], e1, rcond=None)
-    dx = sum(float(yi) * vi for yi, vi in zip(y, V[:k_used]))
-    x = x0 + dx
+    y_pad = np.zeros(restart + 1)
+    y_pad[:k_used] = y
+    x = x0 + V @ jnp.asarray(y_pad, dtype=b.dtype)
     res = float(jnp.linalg.norm(b - matvec(x)))
     return x, res
 

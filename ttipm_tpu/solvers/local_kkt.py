@@ -214,8 +214,12 @@ def ipm_local_solver(
         )
     ) / norm_rhs
 
+    # Dense gate: the reference limits dense Schur to sqrt(r0*r1) <= 3d
+    # (conservative for its scipy spsolve); our fused compiled chain
+    # stays faster than unpreconditioned GMRES well beyond that, so the
+    # gate is floored (m = r0*4*r1 <= ~2300 still factors in seconds).
     dense = (
-        (np.sqrt(x_shape[0] * x_shape[3]) <= size_limit)
+        (np.sqrt(x_shape[0] * x_shape[3]) <= max(size_limit, 24))
         and dense_solve
         and (block_res_old >= rtol)
     )
@@ -307,7 +311,7 @@ def ipm_local_solver_ineq(
         )
     ) / norm_rhs
     dense = (
-        (np.sqrt(x_shape[0] * x_shape[3]) <= 0.95 * size_limit)
+        (np.sqrt(x_shape[0] * x_shape[3]) <= max(0.95 * size_limit, 24))
         and dense_solve
         and (block_res_old >= rtol)
     )
