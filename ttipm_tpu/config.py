@@ -58,6 +58,24 @@ def clamp_eps(eps: float) -> float:
 
 _RANK_BUCKET = 4
 
+# --- Fused fixed-rank KKT solver (solvers/fused.py) ------------------------
+#
+# When enabled, the IPM routes its Newton solves through the fused
+# fixed-rank block-AMEn (one jitted program per core step, static shapes)
+# instead of the reference-faithful ragged sweep.  The ragged path remains
+# for parity tests and as a numerical fallback.
+
+_FUSED_KKT = True
+
+
+def set_fused_kkt(flag: bool) -> None:
+    global _FUSED_KKT
+    _FUSED_KKT = bool(flag)
+
+
+def fused_kkt() -> bool:
+    return _FUSED_KKT
+
 
 def set_rank_bucket(bucket: int) -> None:
     global _RANK_BUCKET

@@ -68,7 +68,34 @@ from ttipm_tpu.solvers.amen import (
     tt_restarted_block_amen,
 )
 from ttipm_tpu.solvers.blocks import TTBlockMatrix, TTBlockVector, tt_get_block
-from ttipm_tpu.solvers.eigen import tt_max_generalised_eigen, tt_min_eig
+from ttipm_tpu.solvers.eigen import (
+    tt_max_generalised_eigen as _tt_max_generalised_eigen_ragged,
+    tt_min_eig as _tt_min_eig_ragged,
+)
+
+
+def tt_max_generalised_eigen(*args, **kwargs):
+    """Route to the fused fixed-rank eigensolver unless the ragged
+    (reference-faithful) path is selected via config.set_fused_kkt(False)."""
+    from ttipm_tpu import config as _cfg
+
+    if _cfg.fused_kkt():
+        from ttipm_tpu.solvers.fused_eigen import tt_max_generalised_eigen_fused
+
+        kwargs.pop("size_limit", None)
+        return tt_max_generalised_eigen_fused(*args, **kwargs)
+    return _tt_max_generalised_eigen_ragged(*args, **kwargs)
+
+
+def tt_min_eig(*args, **kwargs):
+    from ttipm_tpu import config as _cfg
+
+    if _cfg.fused_kkt():
+        from ttipm_tpu.solvers.fused_eigen import tt_min_eig_fused
+
+        kwargs.pop("size_limit", None)
+        return tt_min_eig_fused(*args, **kwargs)
+    return _tt_min_eig_ragged(*args, **kwargs)
 from ttipm_tpu.solvers.local_kkt import ipm_local_solver, ipm_local_solver_ineq
 
 __all__ = ["tt_ipm", "IPMStatus", "IneqStatus"]
@@ -701,7 +728,26 @@ def tt_ipm(
     lhs_skeleton = TTBlockMatrix()
     lhs_skeleton[1, 2] = tt_reshape(tt_identity(2 * dim), (4, 4))
 
-    def make_solver(local):
+    from ttipm_tpu import config as _config
+
+    def make_solver(local, is_ineq):
+        if _config.fused_kkt():
+            from ttipm_tpu.solvers.fused import tt_restarted_block_amen_fused
+
+            def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
+                return tt_restarted_block_amen_fused(
+                    lhs, rhs,
+                    rank_restriction=restriction,
+                    op_tol=op_tol,
+                    ineq=is_ineq,
+                    termination_tol=termination_tol,
+                    num_restarts=mals_restarts,
+                    inner_m=nwsp,
+                    x0=x0,
+                    verbose=verbose,
+                )
+            return solver
+
         def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
             return tt_restarted_block_amen(
                 lhs, rhs,
@@ -716,8 +762,8 @@ def tt_ipm(
             )
         return solver
 
-    solver_eq = make_solver(ipm_local_solver)
-    solver_ineq = make_solver(ipm_local_solver_ineq)
+    solver_eq = make_solver(ipm_local_solver, False)
+    solver_ineq = make_solver(ipm_local_solver_ineq, True)
 
     if status.ineq_status is IneqStatus.ACTIVE:
         solver = solver_ineq

@@ -47,16 +47,22 @@ __all__ = [
 
 
 def prune_singular_vals(s: np.ndarray, eps: float) -> int:
-    """Number of singular values to keep for tail energy < eps^2."""
+    """Number of singular values to keep for tail energy < eps^2.
+
+    ``tail[k]`` is the energy discarded when keeping k values; the kept
+    rank is the first k whose tail fits the budget (all of them when none
+    does).  At eps=0 an exactly-zero tail may still be dropped — the
+    reference's ``argmax(tail < eps^2)`` form returns 0 (= keep 1) in the
+    all-False case, which silently discarded real mass when the smallest
+    singular value was exactly zero (cy_src/tt_ops_cy.pyx:162-177)."""
     s = np.asarray(s)
     if np.linalg.norm(s) == 0.0:
         return 1
     tail = np.cumsum(np.abs(s[::-1]) ** 2)[::-1]
-    r = int(np.argmax(tail < eps**2))
-    r = max(r, 1)
-    if tail[-1] > eps**2:
-        r = s.size
-    return r
+    budget = eps**2
+    hits = np.nonzero(tail < budget if budget > 0 else tail <= 0.0)[0]
+    r = int(hits[0]) if hits.size else int(s.size)
+    return max(r, 1)
 
 
 def _orthonormal_complement(q_mat: jax.Array, k: int) -> jax.Array:
@@ -178,12 +184,9 @@ def _truncation_sweep(
         mat = out[idx].reshape(rank * int(np.prod(shape[1:-1])), -1)
         u, s, v_t = _svd_econ(mat)
         s_host = np.asarray(s)
-        tail = np.cumsum(np.abs(s_host[::-1]) ** 2)[::-1]
-        next_rank = int(np.argmax(tail < eps**2))
-        next_rank = max(next_rank, 1)
-        if tail[-1] > eps**2:
-            next_rank = s_host.size
+        next_rank = prune_singular_vals(s_host, eps)
         if compensation is not None and next_rank < s_host.size:
+            tail = np.cumsum(np.abs(s_host[::-1]) ** 2)[::-1]
             discarded += float(tail[next_rank])
         u_k, folded = _trunc_apply_kernel(
             u, s, v_t, next_rank, out[idx + 1].reshape(next_shape[0], -1)

@@ -1,0 +1,941 @@
+"""Fused fixed-rank block-AMEn solver for the IPM's KKT systems.
+
+The ragged solver (solvers/amen.py) mirrors the reference sweep
+(/root/reference/src/tt_als.py:277-741) faithfully: every SVD truncation
+re-allocates cores, so XLA sees a stream of fresh shapes — profiling a
+dim-3 IPM run showed 67% of wall time in compilation and most of the rest
+in per-op dispatch.  This module is the TPU-native answer (the padded-rank
+design of SURVEY.md §7): one AMEn solve runs at a *fixed* bond rank R
+(capped near the boundaries by the dimension product), every interface
+stays a full orthonormal R-column basis, and each per-core sweep step —
+local Schur KKT solve, SVD re-split, residual ("AMEn") enrichment folded
+into the fixed basis, and Petrov-Galerkin phi updates — is ONE jitted
+program.  Rank adaptivity moves to the restart loop (R grows by 4 per
+restart, matching src/tt_als.py:744-825's rank_restriction+4).
+
+Shapes are static per (d, R, operator-rank signature): operator and rhs
+trains are zero-padded to one bucketed rank per block key, so all interior
+cores share a single compiled step.  Rank-truncation decisions disappear
+(the basis is always R-dimensional); the never-regress residual guard
+(src/tt_ipm.py:279-280) runs inside the kernel via lax-free jnp.where.
+
+KKT block structure (src/tt_ipm.py:183-401): variables [dY,dX,dZ(,dT)],
+blocks (0,0)=Ky, (0,1)=-L (transpose-aliased to (1,0)), (1,2)=I (aliased
+to (1,3) with inequalities), (2,1)=Lz, (2,2)=Lx, (3,1)=Diag(T),
+(3,3)=lag_t+Diag(maskX).  The dense path eliminates dZ elementwise through
+the projected identity diagonal, Cholesky-factors Lz, and solves the
+Y(-T) Schur system — the same chain as solvers/local_kkt.py, inlined here
+so the whole core step is one dispatch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttipm_tpu import config
+from ttipm_tpu.solvers.amen import AmenToleranceReached, AmenRestartsExhausted
+
+__all__ = ["tt_restarted_block_amen_fused", "tt_block_amen_fused"]
+
+
+# Canonical stored block keys (string form used as pytree dict keys).
+EQ_KEYS = ("00", "01", "12", "21", "22")
+INEQ_KEYS = EQ_KEYS + ("31", "33")
+# z-side phi tensors additionally track the transpose image of (0,1).
+EQ_ZKEYS = EQ_KEYS + ("10",)
+INEQ_ZKEYS = INEQ_KEYS + ("10",)
+
+
+def _keys(ineq: bool):
+    return INEQ_KEYS if ineq else EQ_KEYS
+
+
+def _zkeys(ineq: bool):
+    return INEQ_ZKEYS if ineq else EQ_ZKEYS
+
+
+def _nrows(ineq: bool) -> int:
+    return 4 if ineq else 3
+
+
+# ---------------------------------------------------------------------------
+# In-kernel block algebra (all called inside jit)
+# ---------------------------------------------------------------------------
+
+def _apply(p_l, a, p_r, v):
+    return jnp.einsum("lsr,smnS,LSR,rnR->lmL", p_l, a, p_r, v)
+
+
+def _apply_T(p_l, a, p_r, v):
+    return jnp.einsum("lsr,smnS,LSR,lmL->rnR", p_l, a, p_r, v)
+
+
+def _proj(p_l, a, p_r):
+    m = p_l.shape[0] * a.shape[1] * p_r.shape[0]
+    return jnp.einsum("lsr,smnS,LSR->lmLrnR", p_l, a, p_r).reshape(m, m)
+
+
+def _local_product(pl, A, pr, x, ineq: bool):
+    """K @ x in the projected basis; x: (rl, bs, n, rr)."""
+    y0 = _apply(pl["00"], A["00"], pr["00"], x[:, 0]) + _apply(
+        pl["01"], A["01"], pr["01"], x[:, 1]
+    )
+    y1 = _apply_T(pl["01"], A["01"], pr["01"], x[:, 0]) + _apply(
+        pl["12"], A["12"], pr["12"], x[:, 2]
+    )
+    y2 = _apply(pl["21"], A["21"], pr["21"], x[:, 1]) + _apply(
+        pl["22"], A["22"], pr["22"], x[:, 2]
+    )
+    if not ineq:
+        return jnp.stack([y0, y1, y2], axis=1)
+    y1 = y1 + _apply(pl["12"], A["12"], pr["12"], x[:, 3])  # alias (1,3)
+    y3 = _apply(pl["31"], A["31"], pr["31"], x[:, 1]) + _apply(
+        pl["33"], A["33"], pr["33"], x[:, 3]
+    )
+    return jnp.stack([y0, y1, y2, y3], axis=1)
+
+
+def _z_product(zl, A, zr, x, ineq: bool):
+    """K @ x projected with z-bases on the left AND right (ZAX phis carry
+    shape (rz, rA, rz) here because both of their x-slots were replaced).
+    Mirrors blocks.py::compressed_block_local_product."""
+    y0 = _apply(zl["00"], A["00"], zr["00"], x[:, 0]) + _apply(
+        zl["01"], A["01"], zr["01"], x[:, 1]
+    )
+    y1 = jnp.einsum(
+        "lsr,snmS,LSR,rnR->lmL", zl["10"], A["01"], zr["10"], x[:, 0]
+    ) + _apply(zl["12"], A["12"], zr["12"], x[:, 2])
+    y2 = _apply(zl["21"], A["21"], zr["21"], x[:, 1]) + _apply(
+        zl["22"], A["22"], zr["22"], x[:, 2]
+    )
+    if not ineq:
+        return jnp.stack([y0, y1, y2], axis=1)
+    y1 = y1 + _apply(zl["12"], A["12"], zr["12"], x[:, 3])
+    y3 = _apply(zl["31"], A["31"], zr["31"], x[:, 1]) + _apply(
+        zl["33"], A["33"], zr["33"], x[:, 3]
+    )
+    return jnp.stack([y0, y1, y2, y3], axis=1)
+
+
+def _mixed_product(ml, mr, A, x, ineq: bool, transpose_right_phi: bool):
+    """K @ x with mixed bases (z on one side, x on the other).  Mirrors
+    blocks.py::l/rcompressed_block_local_product including the reversed
+    index order on the symmetric x-side phi for the transpose row."""
+    y0 = _apply(ml["00"], A["00"], mr["00"], x[:, 0]) + _apply(
+        ml["01"], A["01"], mr["01"], x[:, 1]
+    )
+    if transpose_right_phi:
+        # left z-basis: the (1,0) row reuses the transposed left phi and the
+        # x-symmetric right phi with reversed outer indices (rcompressed).
+        y1_t = jnp.einsum(
+            "rsl,snmS,LSR,rnR->lmL", ml["01"], A["01"], mr["10"], x[:, 0]
+        )
+    else:
+        y1_t = jnp.einsum(
+            "lsr,snmS,RSL,rnR->lmL", ml["10"], A["01"], mr["01"], x[:, 0]
+        )
+    y1 = y1_t + _apply(ml["12"], A["12"], mr["12"], x[:, 2])
+    y2 = _apply(ml["21"], A["21"], mr["21"], x[:, 1]) + _apply(
+        ml["22"], A["22"], mr["22"], x[:, 2]
+    )
+    if not ineq:
+        return jnp.stack([y0, y1, y2], axis=1)
+    y1 = y1 + _apply(ml["12"], A["12"], mr["12"], x[:, 3])
+    y3 = _apply(ml["31"], A["31"], mr["31"], x[:, 1]) + _apply(
+        ml["33"], A["33"], mr["33"], x[:, 3]
+    )
+    return jnp.stack([y0, y1, y2, y3], axis=1)
+
+
+def _project_rhs(bl, b, br, ineq: bool):
+    cols = [
+        jnp.einsum("br,bmB,BR->rmR", bl[i], b[i], br[i])
+        for i in range(_nrows(ineq))
+    ]
+    return jnp.stack(cols, axis=1)
+
+
+def _chol_solve(L, b):
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def _dense_solve(pl, A, pr, inv_I, rhs, ineq: bool):
+    """Schur-elimination dense solve, inlined from solvers/local_kkt.py
+    (reference src/tt_ipm.py:196-223 eq / :298-334 ineq)."""
+    r, _, n, R = rhs.shape
+    m = r * n * R
+    mR_p = rhs[:, 0].reshape(m, 1)
+    mR_d = rhs[:, 1].reshape(m, 1)
+    mR_c = rhs[:, 2].reshape(m, 1)
+    L_L_Z = jnp.linalg.cholesky(_proj(pl["21"], A["21"], pr["21"]))
+    mL_eq = _proj(pl["01"], A["01"], pr["01"])
+    if not ineq:
+        L_X_I_inv = _proj(pl["22"], A["22"], pr["22"]) * inv_I.reshape(1, -1)
+        b_vec = mR_p - mL_eq @ _chol_solve(L_L_Z, mR_c - L_X_I_inv @ mR_d)
+        S = _chol_solve(L_L_Z, L_X_I_inv)
+        S = mL_eq @ (S @ mL_eq.T)
+        S = S + _proj(pl["00"], A["00"], pr["00"])
+        S = S + 1e-11 * jnp.eye(m, dtype=S.dtype)
+        y = jnp.linalg.solve(S, b_vec)
+        y3 = y.reshape(r, n, R)
+        z = inv_I * (rhs[:, 1] - _apply_T(pl["01"], A["01"], pr["01"], y3))
+        x = _chol_solve(
+            L_L_Z, mR_c - _apply(pl["22"], A["22"], pr["22"], z).reshape(m, 1)
+        )
+        return jnp.stack([y3, x.reshape(r, n, R), z], axis=1)
+
+    mR_t = rhs[:, 3].reshape(m, 1)
+    Lz_inv_Rc = _chol_solve(L_L_Z, mR_c)
+    Lz_inv_Lx = _chol_solve(L_L_Z, _proj(pl["22"], A["22"], pr["22"]))
+    T_op = _proj(pl["31"], A["31"], pr["31"])
+    Lz_inv_Lx_scaled = Lz_inv_Lx * inv_I.reshape(1, -1)
+    u = mR_p - mL_eq @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
+    v = mR_t - T_op @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
+    S = _proj(pl["00"], A["00"], pr["00"])
+    S = S + mL_eq @ (Lz_inv_Lx_scaled @ mL_eq.T)
+    D = _proj(pl["33"], A["33"], pr["33"])
+    D = D + T_op @ Lz_inv_Lx
+    D = D + 1e-11 * jnp.eye(m, dtype=D.dtype)
+    TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
+    YT = mL_eq @ Lz_inv_Lx
+    lu, piv = jax.scipy.linalg.lu_factor(D)
+    rhs_y = u - YT @ jax.scipy.linalg.lu_solve((lu, piv), v)
+    lhs_y = S - YT @ jax.scipy.linalg.lu_solve((lu, piv), TY)
+    y = jnp.linalg.solve(lhs_y, rhs_y)
+    t = jax.scipy.linalg.lu_solve((lu, piv), v - TY @ y)
+    y3 = y.reshape(r, n, R)
+    t3 = t.reshape(r, n, R)
+    z3 = (
+        inv_I * (rhs[:, 1] - _apply_T(pl["01"], A["01"], pr["01"], y3)) - t3
+    )
+    x = _chol_solve(
+        L_L_Z, mR_c - _apply(pl["22"], A["22"], pr["22"], z3).reshape(m, 1)
+    )
+    return jnp.stack([y3, x.reshape(r, n, R), z3, t3], axis=1)
+
+
+def _solve_local(pl, A, pr, bl, b, br, prev, ineq: bool):
+    """Local KKT solve with in-kernel never-regress guard.  Returns
+    (solution, rhs, res_old, res_min, dx)."""
+    rhs = _project_rhs(bl, b, br, ineq)
+    norm_rhs = jnp.maximum(jnp.linalg.norm(rhs), 1e-10)
+    inv_I = 1.0 / jnp.einsum(
+        "lsr,smnS,LSR->lmL", pl["12"], A["12"], pr["12"]
+    )
+    res_old = jnp.linalg.norm(
+        _local_product(pl, A, pr, prev, ineq) - rhs
+    ) / norm_rhs
+    cand = _dense_solve(pl, A, pr, inv_I, rhs, ineq)
+    res_new = jnp.linalg.norm(
+        _local_product(pl, A, pr, cand, ineq) - rhs
+    ) / norm_rhs
+    good = jnp.isfinite(res_new) & (res_new <= res_old)
+    sol = jnp.where(good, cand, prev)
+    res_min = jnp.where(good, res_new, res_old)
+    dx = jnp.linalg.norm(sol - prev) / jnp.maximum(
+        jnp.linalg.norm(sol), 1e-300
+    )
+    return sol, rhs, res_old, res_min, dx
+
+
+def _column_scales(core):
+    norms = jnp.sqrt(jnp.sum(core**2, axis=(0, 2, 3)))
+    return jnp.maximum(norms, 1e-10).reshape(1, -1, 1, 1)
+
+
+def _phi_bck_A(phi_next, cl, a, cr):
+    return jnp.einsum("LSR,lML,sMNS,rNR->lsr", phi_next, cl, a, cr)
+
+
+def _phi_fwd_A(phi_prev, cl, a, cr):
+    return jnp.einsum("lsr,lML,sMNS,rNR->LSR", phi_prev, cl, a, cr)
+
+
+def _phi_bck_rhs(phi_next, cb, c):
+    return jnp.einsum("BR,bnB,rnR->br", phi_next, cb, c)
+
+
+def _phi_fwd_rhs(phi_prev, cb, c):
+    return jnp.einsum("br,bnB,rnR->BR", phi_prev, cb, c)
+
+
+def _phis_bck(A, b, x_core, z_core, pr, br, zr, zbr, ineq: bool):
+    """All right-to-left interface updates after core k is re-split."""
+    pl_new = {k: _phi_bck_A(pr[k], x_core, A[k], x_core) for k in _keys(ineq)}
+    bl_new = [
+        _phi_bck_rhs(br[i], b[i], x_core) for i in range(_nrows(ineq))
+    ]
+    zl_new = None
+    zbl_new = None
+    if z_core is not None:
+        zl_new = {
+            k: _phi_bck_A(zr[k], z_core, A[k], x_core) for k in _keys(ineq)
+        }
+        zl_new["10"] = _phi_bck_A(
+            zr["10"], z_core, jnp.swapaxes(A["01"], 1, 2), x_core
+        )
+        zbl_new = [
+            _phi_bck_rhs(zbr[i], b[i], z_core) for i in range(_nrows(ineq))
+        ]
+    return pl_new, bl_new, zl_new, zbl_new
+
+
+def _phis_fwd(A, b, x_core, z_core, pl, bl, zl, zbl, ineq: bool):
+    pr_new = {k: _phi_fwd_A(pl[k], x_core, A[k], x_core) for k in _keys(ineq)}
+    br_new = [
+        _phi_fwd_rhs(bl[i], b[i], x_core) for i in range(_nrows(ineq))
+    ]
+    zr_new = None
+    zbr_new = None
+    if z_core is not None:
+        zr_new = {
+            k: _phi_fwd_A(zl[k], z_core, A[k], x_core) for k in _keys(ineq)
+        }
+        zr_new["10"] = _phi_fwd_A(
+            zl["10"], z_core, jnp.swapaxes(A["01"], 1, 2), x_core
+        )
+        zbr_new = [
+            _phi_fwd_rhs(zbl[i], b[i], z_core) for i in range(_nrows(ineq))
+        ]
+    return pr_new, br_new, zr_new, zbr_new
+
+
+def _trunc_svd(mat, k: int):
+    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    return u[:, :k], (s[:k, None] * vt[:k])
+
+
+# ---------------------------------------------------------------------------
+# Fused per-core sweep steps (jitted; shapes static per position class)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ineq", "r_out", "kick", "solve"))
+def _bck_split_step(
+    pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_km1, z_k, z_km1,
+    ineq: bool, r_out: int, kick: int, solve: bool,
+):
+    """Backward-sweep step at core k>0: (solve), re-split the bond to rank
+    ``r_out`` with ``kick`` projected-residual enrichment directions, merge
+    the non-orthogonal factor left, update all bck interfaces."""
+    rl, bs, n, rr = x_k.shape
+    rz = z_k.shape[0]
+    rz1 = z_k.shape[-1]
+    r_out = min(r_out, n * rr, rl * bs)  # static clamp to the SVD width
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+    else:
+        sol = x_k
+        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
+
+    scales = _column_scales(sol)
+    mat = jnp.reshape(scales * sol, (rl * bs, n * rr)).T  # (n*rr, rl*bs)
+    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    v = s[:, None] * vt
+
+    # AMEn enrichment GROWS the basis by up to ``kick`` projected-residual
+    # directions (src/tt_als.py:349-361); the bond rank oscillates between
+    # r_out and r_out+kick across sweeps, clamped at the structural width.
+    width = min(r_out + kick, n * rr, rl * bs) if solve else r_out
+    if solve and width > r_out:
+        sol_trunc = jnp.reshape((u[:, :r_out] @ v[:r_out]).T, (rl, bs, n, rr))
+        Axz = _mixed_product(zl, pr, A, sol_trunc, ineq,
+                             transpose_right_phi=False)
+        rhsxz = _project_rhs(zbl, b, br, ineq)
+        resxz = jnp.reshape(rhsxz - Axz, (rz * bs, n * rr)).T
+        uz, _ = _trunc_svd(resxz, width - r_out)
+        u_aug = jnp.concatenate([u[:, :r_out], uz], axis=1)  # (n*rr, width)
+        q, Rf = jnp.linalg.qr(u_aug, mode="reduced")
+        u_core = q.T.reshape(width, n, rr)
+        v_new = (Rf[:, :r_out] @ v[:r_out]).T.reshape(rl, bs, width)
+    else:
+        u_core = u[:, :width].T.reshape(width, n, rr)
+        v_new = v[:width].T.reshape(rl, bs, width)
+
+    x_km1_new = jnp.einsum("rdc,cbR->rbdR", x_km1, v_new) / scales
+
+    # z-train update from the (z,z)-projected residual (src/tt_als.py:160-181);
+    # on no-solve sweeps the z interfaces are not built yet and the raw
+    # z-core is re-split instead (src/tt_als.py:180-181).
+    if solve:
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        resz = jnp.reshape(rhsz - Az, (rz * bs, n * rz1)).T
+    else:
+        resz = jnp.reshape(z_k, (rz * bs, n * rz1)).T
+    uzz, vzz = _trunc_svd(resz, kick)
+    z_core = uzz.T.reshape(kick, n, rz1)
+    vz_new = vzz.T.reshape(rz, bs, kick)
+    z_km1_new = jnp.einsum("rdc,cbR->rbdR", z_km1, vz_new) / scales
+
+    pl_new, bl_new, zl_new, zbl_new = _phis_bck(
+        A, b, u_core, z_core, pr, br, zr, zbr, ineq
+    )
+    return (u_core, x_km1_new, z_core, z_km1_new, pl_new, bl_new, zl_new,
+            zbl_new, res_old, res_min, dx)
+
+
+@partial(jax.jit, static_argnames=("ineq", "solve"))
+def _bck_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
+                    ineq: bool, solve: bool):
+    """Backward-sweep step at core 0: (solve and) write, no split."""
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        z_new = (rhsz - Az) / _column_scales(sol)
+    else:
+        sol = x_k
+        z_new = z_k
+        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
+    return sol, z_new, res_old, res_min, dx
+
+
+@partial(jax.jit, static_argnames=("ineq", "r_out", "kick", "solve"))
+def _fwd_split_step(
+    pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_kp1, z_k, z_kp1,
+    ineq: bool, r_out: int, kick: int, solve: bool,
+):
+    """Forward-sweep step at core k<d-1 (src/tt_als.py:397-522)."""
+    rl, bs, n, rr = x_k.shape
+    rz = z_k.shape[0]
+    rz1 = z_k.shape[-1]
+    r_out = min(r_out, rl * n, bs * rr)  # static clamp to the SVD width
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+    else:
+        sol = x_k
+        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
+
+    scales = _column_scales(sol)
+    mat = jnp.transpose(scales * sol, (0, 2, 1, 3)).reshape(rl * n, bs * rr)
+    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    v = s[:, None] * vt
+    u3 = u.reshape(rl, n, -1)
+
+    width = min(r_out + kick, rl * n, bs * rr) if solve else r_out
+    if solve and width > r_out:
+        sol_trunc = jnp.einsum(
+            "rbR,RdK->rdbK", u3[:, :, :r_out],
+            v[:r_out].reshape(r_out, bs, rr),
+        )
+        Axz = _mixed_product(pl, zr, A, sol_trunc, ineq,
+                             transpose_right_phi=True)
+        rhsxz = _project_rhs(bl, b, zbr, ineq)
+        resxz = jnp.transpose(rhsxz - Axz, (0, 2, 1, 3)).reshape(
+            rl * n, bs * rz1
+        )
+        uz, _ = _trunc_svd(resxz, width - r_out)
+        u_aug = jnp.concatenate([u3.reshape(rl * n, -1)[:, :r_out], uz], axis=1)
+        q, Rf = jnp.linalg.qr(u_aug, mode="reduced")
+        u_core = q.reshape(rl, n, width)
+        v_new = jnp.einsum(
+            "rR,RdK->rdK", Rf[:, :r_out], v[:r_out].reshape(r_out, bs, rr)
+        )
+    else:
+        u_core = u3[:, :, :width]
+        v_new = v[:width].reshape(width, bs, rr)
+
+    x_kp1_new = jnp.einsum("rbR,RdK->rbdK", v_new, x_kp1) / scales
+
+    if solve:
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        resz = jnp.transpose(rhsz - Az, (0, 2, 1, 3)).reshape(rz * n, bs * rz1)
+    else:
+        resz = jnp.transpose(z_k, (0, 2, 1, 3)).reshape(rz * n, bs * rz1)
+    uzz, vzz = _trunc_svd(resz, kick)
+    z_core = uzz.reshape(rz, n, kick)
+    vz_new = vzz.reshape(kick, bs, rz1)
+    z_kp1_new = jnp.einsum("rbR,RdK->rbdK", vz_new, z_kp1) / scales
+
+    pr_new, br_new, zr_new, zbr_new = _phis_fwd(
+        A, b, u_core, z_core, pl, bl, zl, zbl, ineq
+    )
+    return (u_core, x_kp1_new, z_core, z_kp1_new, pr_new, br_new, zr_new,
+            zbr_new, res_old, res_min, dx)
+
+
+@partial(jax.jit, static_argnames=("ineq", "solve"))
+def _fwd_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
+                    ineq: bool, solve: bool):
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        z_new = (rhsz - Az) / _column_scales(sol)
+    else:
+        sol = x_k
+        z_new = z_k
+        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
+    return sol, z_new, res_old, res_min, dx
+
+
+# ---------------------------------------------------------------------------
+# Global residual ||b - Ax|| by direct multi-train contraction (no TT
+# arithmetic, no rounding): ||b-Ax||^2 = sum_i [ <b_i,b_i>
+#   - 2 sum_t <b_i, t> + sum_{t,t'} <t,t'> ] over the row terms t = A_ij x_j.
+# Replaces the ragged block_product+rounding residual of the restart loop
+# (src/tt_als.py:806-808), which profiling showed cost as much as the solve.
+# ---------------------------------------------------------------------------
+
+_ROW_TERMS_EQ = (
+    (("00", 0, False), ("01", 1, False)),
+    (("01", 0, True), ("12", 2, False)),
+    (("21", 1, False), ("22", 2, False)),
+)
+_ROW_TERMS_INEQ = (
+    (("00", 0, False), ("01", 1, False)),
+    (("01", 0, True), ("12", 2, False), ("12", 3, False)),
+    (("21", 1, False), ("22", 2, False)),
+    (("31", 1, False), ("33", 3, False)),
+)
+
+
+def _virtual_term_cores(A, x_cols, key: str, col: int, transpose: bool):
+    """Cores of the vec train A_key @ x_col, bond = (rA*rx)."""
+    out = []
+    for a_c, x_c in zip(A[key], x_cols[col]):
+        eq = "snmS,xnX->sxmSX" if transpose else "smnS,xnX->sxmSX"
+        v = jnp.einsum(eq, a_c, x_c)
+        s, x, m, S, X = v.shape
+        out.append(v.reshape(s * x, m, S * X))
+    return out
+
+
+def _train_dot(tr1, tr2):
+    rho = jnp.ones((1, 1), dtype=tr1[0].dtype)
+    for c1, c2 in zip(tr1, tr2):
+        rho = jnp.einsum("ab,amA,bmB->AB", rho, c1, c2)
+    return rho[0, 0]
+
+
+@partial(jax.jit, static_argnames=("ineq", "block_pos"))
+def _global_residual_sq(A, b, x_shared, x_block, ineq: bool, block_pos: int):
+    """(||b - Ax||^2, ||b||^2) for the canonical KKT block system."""
+    bs = _nrows(ineq)
+    x_cols = []
+    for j in range(bs):
+        cores = list(x_shared)
+        cores.insert(block_pos, x_block[:, j])
+        x_cols.append(cores)
+    terms_tbl = _ROW_TERMS_INEQ if ineq else _ROW_TERMS_EQ
+    res_sq = jnp.zeros((), dtype=config.dtype())
+    rhs_sq = jnp.zeros((), dtype=config.dtype())
+    for i, terms in enumerate(terms_tbl):
+        bb = _train_dot(b[i], b[i])
+        rhs_sq = rhs_sq + bb
+        acc = bb
+        vts = [
+            _virtual_term_cores(A, x_cols, key, col, tr)
+            for (key, col, tr) in terms
+        ]
+        for t in vts:
+            acc = acc - 2.0 * _train_dot(b[i], t)
+        for p, t1 in enumerate(vts):
+            acc = acc + _train_dot(t1, t1)
+            for t2 in vts[p + 1:]:
+                acc = acc + 2.0 * _train_dot(t1, t2)
+        res_sq = res_sq + acc
+    return res_sq, rhs_sq
+
+
+def _fused_residual_norm(A, b, x_cores, ineq: bool) -> float:
+    block_pos = int(np.argmax([c.ndim for c in x_cores]))
+    x_shared = [c for i, c in enumerate(x_cores) if i != block_pos]
+    res_sq, _ = _global_residual_sq(
+        A, b, tuple(x_shared), x_cores[block_pos], ineq, block_pos
+    )
+    return float(np.sqrt(max(float(res_sq), 0.0)))
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation (all numpy: zero XLA compiles)
+# ---------------------------------------------------------------------------
+
+def _bucket4(r: int) -> int:
+    return ((int(r) + 3) // 4) * 4
+
+
+def _np_cores(cores) -> List[np.ndarray]:
+    return [np.asarray(c, dtype=np.float64) for c in cores]
+
+
+def _pad_train(cores: List[np.ndarray], ranks: List[int]) -> List[np.ndarray]:
+    """Zero-pad a TT's bond ranks to ``ranks`` (len d-1)."""
+    d = len(cores)
+    out = []
+    for k, c in enumerate(cores):
+        rl = 1 if k == 0 else ranks[k - 1]
+        rr = 1 if k == d - 1 else ranks[k]
+        pad = [(0, rl - c.shape[0])] + [(0, 0)] * (c.ndim - 2) + [
+            (0, rr - c.shape[-1])
+        ]
+        out.append(np.pad(c, pad))
+    return out
+
+
+def _uniform_key_rank(cores: List[np.ndarray]) -> int:
+    d = len(cores)
+    if d <= 1:
+        return 1
+    return _bucket4(max(c.shape[-1] for c in cores[:-1]))
+
+
+def _prep_operator(block_A, d: int, ineq: bool) -> Dict[str, List[jax.Array]]:
+    """Canonicalize + zero-pad the KKT block operator to one bucketed rank
+    per key (interior bonds), so all interior cores share one shape."""
+    key_map = {"00": (0, 0), "01": (0, 1), "12": (1, 2), "21": (2, 1),
+               "22": (2, 2), "31": (3, 1), "33": (3, 3)}
+    out = {}
+    for sk in _keys(ineq):
+        cores = _np_cores(block_A[key_map[sk]])
+        if sk == "12":
+            # the identity block stays exactly rank-1: its projected
+            # diagonal is inverted elementwise in the Schur solve.
+            ranks = [c.shape[-1] for c in cores[:-1]]
+        else:
+            ra = _uniform_key_rank(cores)
+            ranks = [ra] * (d - 1)
+        out[sk] = [jnp.asarray(c) for c in _pad_train(cores, ranks)]
+    return out
+
+
+def _prep_rhs(block_b, d: int, ineq: bool) -> List[List[jax.Array]]:
+    """Rows as dense list; absent rows become rank-1 zero trains."""
+    rows = []
+    for i in range(_nrows(ineq)):
+        row = block_b.get_row(i) if hasattr(block_b, "get_row") else (
+            block_b[i] if i in block_b else None
+        )
+        if row is None:
+            cores = [np.zeros((1, 4, 1), dtype=np.float64) for _ in range(d)]
+        else:
+            cores = _np_cores(row)
+            rb = _uniform_key_rank(cores)
+            cores = _pad_train(cores, [rb] * (d - 1))
+        rows.append([jnp.asarray(c) for c in cores])
+    return rows
+
+
+def _bond_caps(d: int, R: int, bs: int, direction: int) -> List[int]:
+    """Static bond ranks: R capped by the dimension products on each side.
+    The block axis (size bs) sits on the side the sweep merges into: after
+    a backward sweep the block core is at position 0 (bs counts on the
+    left), after a forward sweep at position d-1 (bs on the right)."""
+    if direction > 0:  # backward sweep output
+        return [
+            min(R, bs * 4 ** (k + 1), 4 ** (d - 1 - k)) for k in range(d - 1)
+        ]
+    return [min(R, 4 ** (k + 1), bs * 4 ** (d - 1 - k)) for k in range(d - 1)]
+
+
+def _np_svd_retract(cores: List[np.ndarray], caps: List[int]) -> List[np.ndarray]:
+    """numpy RL-orthogonalise + LR retraction to exact cap ranks with
+    zero-padding (sweep 0 re-orthogonalises, so zero-pad is safe here)."""
+    d = len(cores)
+    out = [c.copy() for c in cores]
+    # right-to-left QR
+    for i in range(d - 1, 0, -1):
+        sh = out[i].shape
+        q, r = np.linalg.qr(out[i].reshape(sh[0], -1).T)
+        out[i] = q.T.reshape(-1, *sh[1:])
+        prev = out[i - 1]
+        out[i - 1] = (prev.reshape(-1, sh[0]) @ r.T).reshape(
+            *prev.shape[:-1], -1
+        )
+    # left-to-right SVD truncate/pad to caps
+    for k in range(d - 1):
+        sh = out[k].shape
+        mat = out[k].reshape(-1, sh[-1])
+        u, s, vt = np.linalg.svd(mat, full_matrices=False)
+        r = min(caps[k], len(s))
+        u_k = u[:, :r]
+        sv = s[:r, None] * vt[:r]
+        nxt = out[k + 1]
+        folded = sv @ nxt.reshape(nxt.shape[0], -1)
+        if r < caps[k]:
+            u_k = np.pad(u_k, [(0, 0), (0, caps[k] - r)])
+            folded = np.pad(folded, [(0, caps[k] - r), (0, 0)])
+        out[k] = u_k.reshape(*sh[:-1], caps[k])
+        out[k + 1] = folded.reshape(caps[k], *nxt.shape[1:])
+    return out
+
+
+def _x0_direction(x0, d: int, bs: int) -> int:
+    """+1 when the warm start's block axis sits on core d-1 (next sweep
+    backward), -1 on core 0 (next sweep forward); 0 = unusable layout."""
+    if x0 is None:
+        return 0
+    idxs = [
+        i for i, c in enumerate(x0)
+        if getattr(c, "ndim", 0) == 4 and c.shape[1] == bs
+    ]
+    if len(idxs) != 1:
+        return 0
+    if idxs[0] == 0:
+        return -1
+    if idxs[0] == d - 1:
+        return 1
+    return 0
+
+
+def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[jax.Array]:
+    """Warm start (or fresh Gaussian) at exact cap ranks with the block
+    axis on core 0 (direction -1) or core d-1 (direction +1) — same
+    convention as solvers/amen.py::find_block_core."""
+    if x0 is not None and _x0_direction(x0, d, bs) == direction:
+        cores = _np_svd_retract(_np_cores(x0), caps)
+        return [jnp.asarray(c) for c in cores]
+    if direction > 0:
+        head = [rng.randn(1, 4, caps[0])] + [
+            rng.randn(caps[k - 1], 4, caps[k]) for k in range(1, d - 1)
+        ]
+        cores = head + [rng.randn(caps[-1] if d > 1 else 1, bs, 4, 1)]
+    else:
+        tail = [
+            rng.randn(caps[k - 1], 4, caps[k]) for k in range(1, d - 1)
+        ] + [rng.randn(caps[-1] if d > 1 else 1, 4, 1)]
+        cores = [rng.randn(1, bs, 4, caps[0] if d > 1 else 1)] + tail
+    nrm = np.sqrt(sum(float(np.sum(c**2)) for c in cores))
+    cores = [c / max(nrm, 1e-300) ** (1.0 / d) for c in cores]
+    return [jnp.asarray(np.asarray(c, dtype=np.float64)) for c in cores]
+
+
+def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng) -> List[jax.Array]:
+    cores = []
+    for k in range(d):
+        rl = 1 if k == 0 else kick
+        rr = 1 if k == d - 1 else kick
+        if k == block_pos:
+            c = rng.randn(rl, bs, 4, rr) / (4 * bs * kick**2)
+        else:
+            c = rng.randn(rl, 4, rr) / (4 * kick**2)
+        cores.append(jnp.asarray(np.asarray(c, dtype=np.float64)))
+    return cores
+
+
+def _boundary_phis(A, b, ineq: bool):
+    ones3 = jnp.ones((1, 1, 1), dtype=config.dtype())
+    ones2 = jnp.ones((1, 1), dtype=config.dtype())
+    pA = {k: ones3 for k in _keys(ineq)}
+    pz = {k: ones3 for k in _zkeys(ineq)}
+    pb = [ones2 for _ in range(_nrows(ineq))]
+    return pA, pz, pb
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def tt_block_amen_fused(
+    block_A,
+    block_b,
+    term_tol: float,
+    R: int,
+    ineq: bool,
+    eps: float = 1e-12,
+    nswp: int = 22,
+    x0=None,
+    kick_rank: int = 2,
+    verbose: bool = False,
+    seed: Optional[int] = None,
+    prepped=None,
+):
+    """Fixed-rank fused block-AMEn solve of the IPM KKT system.
+
+    Same contract as solvers/amen.py::tt_block_amen with the IPM local
+    Schur solver baked in; returns (x_cores, final_local_res)."""
+    bs = _nrows(ineq)
+    d = len(next(iter(block_b.values())))
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+
+    if prepped is not None:
+        A, b = prepped
+    else:
+        A = _prep_operator(block_A, d, ineq)
+        b = _prep_rhs(block_b, d, ineq)
+    caps_bck = _bond_caps(d, R, bs, +1)
+    caps_fwd = _bond_caps(d, R, bs, -1)
+    direction = _x0_direction(x0, d, bs) or 1
+    # the warm start is laid out as if the *opposite* sweep just finished,
+    # so its cap profile is the opposite direction's
+    x_cores = _prep_x0(
+        x0, d, bs, caps_fwd if direction > 0 else caps_bck, direction, rng
+    )
+    block_pos = 0 if direction < 0 else d - 1
+    z_cores = _prep_z0(d, bs, kick_rank, block_pos, rng)
+
+    pA0, pz0, pb0 = _boundary_phis(A, b, ineq)
+    XAX: List = [pA0] + [None] * (d - 1) + [dict(pA0)]
+    Xb: List = [pb0] + [None] * (d - 1) + [list(pb0)]
+    ZAX: List = [pz0] + [None] * (d - 1) + [dict(pz0)]
+    Zb: List = [pb0] + [None] * (d - 1) + [list(pb0)]
+
+    last = False
+    final_res = np.inf
+    swp = 0
+    for swp in range(nswp + 1):
+        solve = (swp > 0) and not last
+        res_vals = []
+        dx_vals = []
+        if direction > 0:  # backward sweep
+            for k in range(d - 1, -1, -1):
+                A_k = {key: A[key][k] for key in _keys(ineq)}
+                b_k = [b[i][k] for i in range(bs)]
+                if k > 0:
+                    (u_core, x_prev, z_core, z_prev, pl_new, bl_new, zl_new,
+                     zbl_new, r_old, r_min, dx) = _bck_split_step(
+                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                        x_cores[k], x_cores[k - 1], z_cores[k], z_cores[k - 1],
+                        ineq=ineq, r_out=caps_bck[k - 1], kick=kick_rank,
+                        solve=solve,
+                    )
+                    x_cores[k] = u_core
+                    x_cores[k - 1] = x_prev
+                    z_cores[k] = z_core
+                    z_cores[k - 1] = z_prev
+                    XAX[k] = pl_new
+                    Xb[k] = bl_new
+                    ZAX[k] = zl_new
+                    Zb[k] = zbl_new
+                else:
+                    x_new, z_new, r_old, r_min, dx = _bck_write_step(
+                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                        x_cores[k], z_cores[k], ineq=ineq, solve=solve,
+                    )
+                    x_cores[k] = x_new
+                    z_cores[k] = z_new
+                if solve:
+                    res_vals.append(r_old)
+                    dx_vals.append(dx)
+        else:  # forward sweep
+            for k in range(d):
+                A_k = {key: A[key][k] for key in _keys(ineq)}
+                b_k = [b[i][k] for i in range(bs)]
+                if k < d - 1:
+                    (u_core, x_next, z_core, z_next, pr_new, br_new, zr_new,
+                     zbr_new, r_old, r_min, dx) = _fwd_split_step(
+                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                        x_cores[k], x_cores[k + 1], z_cores[k], z_cores[k + 1],
+                        ineq=ineq, r_out=caps_fwd[k], kick=kick_rank,
+                        solve=solve,
+                    )
+                    x_cores[k] = u_core
+                    x_cores[k + 1] = x_next
+                    z_cores[k] = z_core
+                    z_cores[k + 1] = z_next
+                    XAX[k + 1] = pr_new
+                    Xb[k + 1] = br_new
+                    ZAX[k + 1] = zr_new
+                    Zb[k + 1] = zbr_new
+                else:
+                    x_new, z_new, r_old, r_min, dx = _fwd_write_step(
+                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                        x_cores[k], z_cores[k], ineq=ineq, solve=solve,
+                    )
+                    x_cores[k] = x_new
+                    z_cores[k] = z_new
+                if solve:
+                    res_vals.append(r_old)
+                    dx_vals.append(dx)
+
+        if last:
+            break
+        if solve:
+            local_res = float(jnp.max(jnp.stack(res_vals)))
+            local_dx = float(jnp.max(jnp.stack(dx_vals)))
+        else:
+            local_res = np.inf
+            local_dx = np.inf
+        if local_res < term_tol or local_dx < eps or swp == nswp - 2:
+            last = True
+            final_res = local_res
+        if verbose:
+            print(f"\t[fused R={R}] sweep {swp}: res {local_res:.3e} "
+                  f"dx {local_dx:.3e}", flush=True)
+        direction *= -1
+
+    return list(x_cores), final_res
+
+
+def tt_restarted_block_amen_fused(
+    block_A,
+    block_b,
+    rank_restriction: int,
+    op_tol: float,
+    ineq: bool,
+    termination_tol: float = 1e-3,
+    eps: float = 1e-11,
+    num_restarts: int = 3,
+    inner_m: int = 10,
+    x0=None,
+    verbose: bool = False,
+):
+    """Restart loop for the fused solver: rank escalates by 4 per restart
+    (src/tt_als.py:744-825's rank_restriction+4, realised here as the fixed
+    solve rank since the fused path has no in-sweep adaptivity)."""
+    d = len(next(iter(block_b.values())))
+    bs = _nrows(ineq)
+
+    A = _prep_operator(block_A, d, ineq)
+    b = _prep_rhs(block_b, d, ineq)
+
+    rhs_norm0 = block_b.norm
+    if rhs_norm0 < 0.5 * op_tol:
+        raise AmenToleranceReached(
+            f"absolute tolerance already reached: {rhs_norm0:4f} < {op_tol:4f}"
+        )
+
+    # Initial rank: bucketed warm-start rank, floored at 4 and capped by the
+    # restriction and a safety ceiling for the dense local factorizations.
+    r_cap = int(min(rank_restriction, 4 ** ((d + 1) // 2), 32))
+    if x0 is not None:
+        warm_r = max(
+            (int(c.shape[-1]) for c in x0[:-1]), default=4
+        )
+        R = min(max(4, _bucket4(warm_r)), r_cap)
+    else:
+        R = min(8, r_cap)
+
+    x_cores, res = tt_block_amen_fused(
+        block_A, block_b, termination_tol, R, ineq, eps=eps, nswp=inner_m,
+        x0=x0, kick_rank=2, verbose=verbose, prepped=(A, b),
+    )
+    if res < termination_tol:
+        return x_cores, res
+    rn = _fused_residual_norm(A, b, x_cores, ineq)
+    if rn < termination_tol * rhs_norm0 or rn < rhs_norm0:
+        return x_cores, res
+
+    for _ in range(1, num_restarts):
+        R = min(R + 4, r_cap)
+        x_cores, res = tt_block_amen_fused(
+            block_A, block_b, termination_tol, R, ineq, eps=eps, nswp=inner_m,
+            x0=x_cores, kick_rank=4, verbose=verbose, prepped=(A, b),
+        )
+        rn = _fused_residual_norm(A, b, x_cores, ineq)
+        if rn < termination_tol * rhs_norm0 or rn < rhs_norm0:
+            return x_cores, res
+
+    raise AmenRestartsExhausted(
+        f"restart budget exhausted, relative error {rn / rhs_norm0:.3e}; "
+        "consider raising the rank ceiling"
+    )
