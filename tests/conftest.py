@@ -21,6 +21,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from ttipm_tpu import config as _ttipm_config
+
+# Same-host persistent compile cache (see ttipm_tpu/config.py): repeat test
+# runs skip XLA backend compilation.  TTIPM_JAX_CACHE=0 disables.
+_ttipm_config.enable_persistent_cache()
+
 import numpy as np
 import pytest
 

@@ -96,3 +96,44 @@ def bucket_rank(r: int) -> int:
         return r
     b = _RANK_BUCKET
     return ((r + b - 1) // b) * b
+
+
+# --- Persistent compilation cache ------------------------------------------
+#
+# The IPM's shape stream compiles ~1000 small XLA programs per solve;
+# profiling maxcut d5 showed 71s of a 109s solve inside
+# backend_compile_and_load.  The JAX persistent cache amortises that across
+# processes: a warm cache cut maxcut d3 from 99.9s to 26.3s with bit-equal
+# results.  Caveat (why this is opt-in per entry point rather than
+# import-time): XLA:CPU cache entries embed the compile machine's CPU
+# features and loading them on a *different* host can SIGILL; same-host
+# reuse is safe (the loader's "machine type doesn't match" stderr spam is a
+# pseudo-feature comparison wart — +prefer-no-scatter/-gather — not a real
+# mismatch).  Callers must not ship the cache directory across machines.
+
+_CACHE_ENABLED = False
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Point JAX at an on-disk compilation cache (idempotent).
+
+    Default location: $TTIPM_JAX_CACHE, else ~/.cache/ttipm_tpu/xla.
+    Set TTIPM_JAX_CACHE=0 to disable entirely.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return None
+    import os
+
+    env = os.environ.get("TTIPM_JAX_CACHE", "")
+    if env == "0":
+        return None
+    path = path or env or os.path.expanduser("~/.cache/ttipm_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # The IPM's programs compile in ~10-100ms each; the defaults
+    # (min_compile_time 1s, min_entry_size) would cache almost nothing.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _CACHE_ENABLED = True
+    return path

@@ -145,16 +145,26 @@ def run_experiment(create_problem_fn=None, argv=None, problem_name=None):
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--rank", type=int, default=1)
     parser.add_argument("--track_mem", action="store_true")
-    parser.add_argument("--platform", type=str, default=None,
-                        help="force a jax platform (cpu / axon / tpu)")
+    parser.add_argument("--platform", type=str,
+                        default=os.environ.get("TTIPM_PLATFORM", "cpu"),
+                        help="jax platform (cpu / axon / tpu).  Defaults to "
+                             "cpu ($TTIPM_PLATFORM overrides): eager TT "
+                             "orchestration over a tunneled remote TPU pays "
+                             "~100ms latency per op, so 'axon' is only "
+                             "useful on a directly-attached chip.  Pass "
+                             "'default' to keep the session backend.")
     parser.add_argument("--no_resample", action="store_true",
                         help="disable pathological-seed resampling")
     args = parser.parse_args(argv)
 
-    if args.platform:
+    if args.platform and args.platform != "default":
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    from ttipm_tpu import config as ttipm_config
+
+    ttipm_config.enable_persistent_cache()
 
     if create_problem_fn is None:
         if args.problem is None:
