@@ -50,6 +50,7 @@ __all__ = [
 # Exact rank-product contractions (one einsum per core)
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def tt_mat_vec_exact(matrix_tt: TT, vec_tt: TT) -> TT:
     """Exact TT matrix @ TT vector; bond ranks multiply."""
     out: TT = []
@@ -61,6 +62,7 @@ def tt_mat_vec_exact(matrix_tt: TT, vec_tt: TT) -> TT:
     return out
 
 
+@jax.jit
 def tt_mat_mat_exact(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
     """Exact TT matrix @ TT matrix; bond ranks multiply."""
     out: TT = []
@@ -75,6 +77,7 @@ def tt_mat_mat_exact(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
     return out
 
 
+@jax.jit
 def tt_hadamard_exact(train_tt_1: TT, train_tt_2: TT) -> TT:
     """Exact entrywise (Hadamard) product; bond ranks multiply."""
     out: TT = []

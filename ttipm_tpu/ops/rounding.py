@@ -118,23 +118,50 @@ def _svd_econ(mat: jax.Array):
 # per RL-orthogonalisation step and per truncation-application step instead
 # of a chain of eager reshape/QR/matmul dispatches.
 
-@jax.jit
-def _rl_bond_kernel(core2d, prev2d):
-    """QR of the transposed right unfolding + absorb R into the left
-    neighbour: returns (q_t, prev_new)."""
-    q, r = jnp.linalg.qr(core2d.T, mode="reduced")
-    return q.T, prev2d @ r.T
-
-
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(3,))
-def _trunc_apply_kernel(u, s, v_t, next_rank, next_mat):
+@jax.jit
+def _rl_bond_kernel(core, prev):
+    """QR of the transposed right unfolding + absorb R into the left
+    neighbour.  Takes and returns FULL-shaped cores: the reshapes live
+    inside the jit so the sweep issues one program per bond signature
+    instead of a chain of eager reshape dispatches."""
+    r = core.shape[0]
+    q, rm = jnp.linalg.qr(core.reshape(r, -1).T, mode="reduced")
+    k = q.shape[1]
+    q_core = q.T.reshape(k, *core.shape[1:])
+    prev_new = (prev.reshape(-1, r) @ rm.T).reshape(*prev.shape[:-1], k)
+    return q_core, prev_new
+
+
+@jax.jit
+def _bond_svd(core):
+    """Economy SVD of the left unfolding (rows = left bond x physical)."""
+    return jnp.linalg.svd(
+        core.reshape(-1, core.shape[-1]), full_matrices=False
+    )
+
+
+@_partial(jax.jit, static_argnums=(4, 5))
+def _trunc_apply_kernel(u, s, v_t, next_core, next_rank, padded_rank):
     """Apply a rank-``next_rank`` truncation: slice U, fold S*Vt into the
-    right neighbour."""
+    right (full-shaped) neighbour, and — when the rank bucket demands it —
+    pad the bond to ``padded_rank`` in-kernel: U gains an orthonormal
+    complement (so downstream Galerkin projections stay non-singular), the
+    folded factor gains zero rows (the represented tensor is unchanged)."""
     sv = s[:next_rank, None] * v_t[:next_rank, :]
-    return u[:, :next_rank], sv @ next_mat
+    u_k = u[:, :next_rank]
+    folded = sv @ next_core.reshape(next_core.shape[0], -1)
+    if padded_rank > next_rank:
+        k = padded_rank - next_rank
+        g = jax.random.normal(jax.random.PRNGKey(0), (u.shape[0], k), u.dtype)
+        g = g - u_k @ (u_k.T @ g)
+        q2, _ = jnp.linalg.qr(g, mode="reduced")
+        u_k = jnp.concatenate([u_k, q2], axis=1)
+        folded = jnp.pad(folded, [(0, k), (0, 0)])
+    folded = folded.reshape(padded_rank, *next_core.shape[1:])
+    return u_k, folded
 
 
 def tt_rl_orthogonalise(train_tt: TT) -> TT:
@@ -145,17 +172,7 @@ def tt_rl_orthogonalise(train_tt: TT) -> TT:
         return list(train_tt)
     out = list(train_tt)
     for i in range(dim - 1, 0, -1):
-        shape_i = out[i].shape
-        prev = out[i - 1]
-        prev_shape = prev.shape
-        # QR of the transposed unfolding (rows = physical x right bond),
-        # fused with the R-absorption into the left neighbour.
-        q_t, prev_new = _rl_bond_kernel(
-            out[i].reshape(shape_i[0], -1), prev.reshape(-1, shape_i[0])
-        )
-        new_rank = q_t.shape[0]
-        out[i] = q_t.reshape(new_rank, *shape_i[1:])
-        out[i - 1] = prev_new.reshape(*prev_shape[:-1], new_rank)
+        out[i], out[i - 1] = _rl_bond_kernel(out[i], out[i - 1])
     return out
 
 
@@ -176,25 +193,22 @@ def _truncation_sweep(
     """
     dim = len(train_tt)
     out = list(train_tt)
-    rank = 1
     discarded = 0.0
     for idx in range(dim - 1):
         shape = out[idx].shape
-        next_shape = out[idx + 1].shape
-        mat = out[idx].reshape(rank * int(np.prod(shape[1:-1])), -1)
-        u, s, v_t = _svd_econ(mat)
+        u, s, v_t = _bond_svd(out[idx])
         s_host = np.asarray(s)
         next_rank = prune_singular_vals(s_host, eps)
         if compensation is not None and next_rank < s_host.size:
             tail = np.cumsum(np.abs(s_host[::-1]) ** 2)[::-1]
             discarded += float(tail[next_rank])
-        u_k, folded = _trunc_apply_kernel(
-            u, s, v_t, next_rank, out[idx + 1].reshape(next_shape[0], -1)
+        # In-kernel bucket padding (capped by the unfolding's row count so
+        # the padded columns can stay orthonormal).
+        padded = min(config.bucket_rank(next_rank), u.shape[0])
+        u_k, out[idx + 1] = _trunc_apply_kernel(
+            u, s, v_t, out[idx + 1], next_rank, padded
         )
-        u_k, folded, next_rank = pad_bond_factors(u_k, folded, next_rank)
-        out[idx] = u_k.reshape(rank, *shape[1:-1], next_rank)
-        out[idx + 1] = folded.reshape(next_rank, *next_shape[1:-1], -1)
-        rank = next_rank
+        out[idx] = u_k.reshape(*shape[:-1], padded)
     return out, discarded
 
 

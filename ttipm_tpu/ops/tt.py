@@ -18,7 +18,7 @@ translated):
 
 from __future__ import annotations
 
-from functools import reduce
+from functools import partial, reduce
 from typing import List, Sequence
 
 import jax
@@ -108,6 +108,13 @@ def tt_one_matrix(dim: int, n: int = 2) -> TT:
 # Structure ops
 # ---------------------------------------------------------------------------
 
+# Whole-train functions carry jax.jit at function granularity: a TT is a
+# list-of-arrays pytree, so each (length, shape-signature) compiles ONE
+# program instead of one tiny program per eager core op.  A d3 IPM census
+# showed 681 distinct compiled programs of which ~480 were eager
+# reshape/concat/einsum/pad dispatches from exactly this glue.
+
+@jax.jit
 def tt_transpose(matrix_tt: TT) -> TT:
     """Matrix transpose: swap the two physical axes of every matrix core.
 
@@ -127,17 +134,24 @@ def tt_ranks(train_tt: TT) -> List[int]:
     return [int(c.shape[0]) for c in train_tt[1:]]
 
 
+@jax.jit
+def _scale_core(core: jax.Array, alpha) -> jax.Array:
+    return core * jnp.asarray(alpha, dtype=core.dtype)
+
+
 def tt_scale(alpha, train_tt: TT) -> TT:
     """Scale the represented tensor by ``alpha`` (scales one core).
 
     The reference scales a randomly chosen core (cy_src/tt_ops_cy.pyx:94-114)
     to spread magnitude; we deterministically scale core 0 — under f64 the
-    dynamic range is ample and determinism keeps traces stable.
+    dynamic range is ample and determinism keeps traces stable.  Jitted at
+    core granularity: the program is keyed on core 0's shape alone, not the
+    whole train signature.
     """
-    alpha = jnp.asarray(alpha, dtype=train_tt[0].dtype)
-    return [train_tt[0] * alpha] + list(train_tt[1:])
+    return [_scale_core(train_tt[0], alpha)] + list(train_tt[1:])
 
 
+@jax.jit
 def tt_swap_all(train_tt: TT) -> TT:
     """Reverse core order and flip every core's bond axes."""
     return [jnp.swapaxes(c, 0, -1) for c in reversed(train_tt)]
@@ -164,13 +178,9 @@ def _block_diag_core(core_1: jax.Array, core_2: jax.Array) -> jax.Array:
     return jnp.concatenate((top, bottom), axis=0)
 
 
-def tt_add(train_1_tt: TT, train_2_tt: TT) -> TT:
-    """Rank-additive TT addition (cy_src/tt_ops_cy.pyx:244-258)."""
+@jax.jit
+def _tt_add_impl(train_1_tt: TT, train_2_tt: TT) -> TT:
     n = len(train_1_tt)
-    if n != len(train_2_tt):
-        raise ValueError(
-            f"tt_add: train lengths differ ({n} vs {len(train_2_tt)})"
-        )
     if n == 1:
         return [train_1_tt[0] + train_2_tt[0]]
     first = jnp.concatenate((train_1_tt[0], train_2_tt[0]), axis=-1)
@@ -182,8 +192,28 @@ def tt_add(train_1_tt: TT, train_2_tt: TT) -> TT:
     return [first] + mids + [last]
 
 
+def tt_add(train_1_tt: TT, train_2_tt: TT) -> TT:
+    """Rank-additive TT addition (cy_src/tt_ops_cy.pyx:244-258)."""
+    if len(train_1_tt) != len(train_2_tt):
+        raise ValueError(
+            f"tt_add: train lengths differ "
+            f"({len(train_1_tt)} vs {len(train_2_tt)})"
+        )
+    return _tt_add_impl(train_1_tt, train_2_tt)
+
+
+@jax.jit
+def _tt_sub_impl(train_1_tt: TT, train_2_tt: TT) -> TT:
+    return _tt_add_impl(train_1_tt, tt_scale(-1.0, train_2_tt))
+
+
 def tt_sub(train_1_tt: TT, train_2_tt: TT) -> TT:
-    return tt_add(train_1_tt, tt_scale(-1.0, train_2_tt))
+    if len(train_1_tt) != len(train_2_tt):
+        raise ValueError(
+            f"tt_sub: train lengths differ "
+            f"({len(train_1_tt)} vs {len(train_2_tt)})"
+        )
+    return _tt_sub_impl(train_1_tt, train_2_tt)
 
 
 def tt_sum(*args: TT, op_tol: float = 1e-18, rank_reduce: bool = True) -> TT:
@@ -202,19 +232,24 @@ def tt_sum(*args: TT, op_tol: float = 1e-18, rank_reduce: bool = True) -> TT:
 # Inner products and norms
 # ---------------------------------------------------------------------------
 
-def tt_inner_prod(train_1_tt: TT, train_2_tt: TT) -> float:
-    """<A, B> by a left-to-right two-train contraction.
-
-    Parity: cy_src/tt_ops_cy.pyx:506-520.  Returns a host float (the IPM
-    branches on these values).
-    """
+@jax.jit
+def _tt_inner_prod_impl(train_1_tt: TT, train_2_tt: TT) -> jax.Array:
     acc = jnp.ones((1, 1), dtype=config.dtype())
     for c1, c2 in zip(train_1_tt, train_2_tt):
         if c1.ndim == 4:
             acc = jnp.einsum("ab,aijc,bijd->cd", acc, c1, c2)
         else:
             acc = jnp.einsum("ab,aic,bid->cd", acc, c1, c2)
-    return float(acc[0, 0])
+    return acc[0, 0]
+
+
+def tt_inner_prod(train_1_tt: TT, train_2_tt: TT) -> float:
+    """<A, B> by a left-to-right two-train contraction.
+
+    Parity: cy_src/tt_ops_cy.pyx:506-520.  Returns a host float (the IPM
+    branches on these values).
+    """
+    return float(_tt_inner_prod_impl(train_1_tt, train_2_tt))
 
 
 def tt_norm(train_tt: TT) -> float:
@@ -234,35 +269,55 @@ def tt_trace(matrix_tt: TT) -> float:
     return tt_inner_prod(matrix_tt, tt_identity(len(matrix_tt), n=matrix_tt[0].shape[1]))
 
 
-def tt_entrywise_sum(train_tt: TT) -> float:
-    """Sum of all tensor entries (src/tt_ops.py:342-352)."""
+@jax.jit
+def _tt_entrywise_sum_impl(train_tt: TT) -> jax.Array:
     acc = jnp.ones((1,), dtype=config.dtype())
     for c in train_tt:
         if c.ndim == 4:
             acc = jnp.einsum("a,aijb->b", acc, c)
         else:
             acc = jnp.einsum("a,aib->b", acc, c)
-    return float(acc.sum())
+    return acc.sum()
+
+
+def tt_entrywise_sum(train_tt: TT) -> float:
+    """Sum of all tensor entries (src/tt_ops.py:342-352)."""
+    return float(_tt_entrywise_sum_impl(train_tt))
 
 
 # ---------------------------------------------------------------------------
 # Diagonal embed / extract / operator
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _diag_embed_cores(vec_tt: TT) -> TT:
+    n = vec_tt[0].shape[1]
+    eye = jnp.eye(n, dtype=config.dtype())
+    return [jnp.einsum("ij,rjR->rijR", eye, c) for c in vec_tt]
+
+
 def tt_diag(vec_tt: TT, eps: float = 1e-18) -> TT:
     """Diag-embed a TT vector into a TT matrix (src/tt_ops.py:312-316)."""
     from ttipm_tpu.ops.rounding import tt_rank_reduce
 
-    n = vec_tt[0].shape[1]
-    eye = _asarray(np.eye(n))
-    cores = [jnp.einsum("ij,rjR->rijR", eye, c) for c in vec_tt]
-    return tt_rank_reduce(cores, eps)
+    return tt_rank_reduce(_diag_embed_cores(vec_tt), eps)
 
 
+@jax.jit
 def tt_diagonal(matrix_tt: TT) -> TT:
     """Extract the diagonal as a TT vector (src/tt_ops.py:318-319)."""
     return [
         jnp.transpose(jnp.diagonal(c, axis1=1, axis2=2), (0, 2, 1))
+        for c in matrix_tt
+    ]
+
+
+@jax.jit
+def _diag_op_cores(matrix_tt: TT) -> TT:
+    mn = matrix_tt[0].shape[1] * matrix_tt[0].shape[2]
+    eye = jnp.eye(mn, dtype=config.dtype())
+    return [
+        jnp.einsum("ij,rjR->rijR", eye, c.reshape(c.shape[0], mn, c.shape[-1]))
         for c in matrix_tt
     ]
 
@@ -276,18 +331,19 @@ def tt_diag_op(matrix_tt: TT, eps: float = 1e-18) -> TT:
     """
     from ttipm_tpu.ops.rounding import tt_rank_reduce
 
-    mn = matrix_tt[0].shape[1] * matrix_tt[0].shape[2]
-    eye = _asarray(np.eye(mn))
-    cores = [
-        jnp.einsum("ij,rjR->rijR", eye, c.reshape(c.shape[0], mn, c.shape[-1]))
-        for c in matrix_tt
-    ]
-    return tt_rank_reduce(cores, eps)
+    return tt_rank_reduce(_diag_op_cores(matrix_tt), eps)
 
 
 # ---------------------------------------------------------------------------
 # Reshapes between matrix-TT and vector-TT views
 # ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=1)
+def _tt_reshape_impl(train_tt: TT, shape: tuple) -> TT:
+    if int(np.prod(shape)) > int(np.prod(train_tt[0].shape[1:-1])):
+        train_tt = tt_merge_cores(train_tt)
+    return [c.reshape(c.shape[0], *shape, c.shape[-1]) for c in train_tt]
+
 
 def tt_reshape(train_tt: TT, shape: Sequence[int]) -> TT:
     """Reshape each core's physical axes to ``shape``.
@@ -297,9 +353,7 @@ def tt_reshape(train_tt: TT, shape: Sequence[int]) -> TT:
     physical volume exceeds a core's, adjacent cores are merged first
     (src/tt_ops.py:330-339).
     """
-    if int(np.prod(shape)) > int(np.prod(train_tt[0].shape[1:-1])):
-        train_tt = tt_merge_cores(train_tt)
-    return [c.reshape(c.shape[0], *shape, c.shape[-1]) for c in train_tt]
+    return _tt_reshape_impl(train_tt, tuple(int(s) for s in shape))
 
 
 def tt_merge_cores(train_tt: TT) -> TT:
@@ -362,21 +416,24 @@ def _kron_cores(c1: jax.Array, c2: jax.Array) -> jax.Array:
     )
 
 
+@jax.jit
 def tt_kron(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
     """Core-wise Kronecker product (src/tt_ops.py:199-203)."""
     return [_kron_cores(c1, c2) for c1, c2 in zip(matrix_tt_1, matrix_tt_2)]
 
 
+@jax.jit
 def tt_IkronM(matrix_tt: TT) -> TT:
     """Lift ``M -> I (x) M`` per core: (r,2,2,R) -> (r,4,4,R)
     (src/tt_ops.py:360-363)."""
-    eye = _asarray(np.eye(2).reshape(1, 2, 2, 1))
+    eye = jnp.eye(2, dtype=config.dtype()).reshape(1, 2, 2, 1)
     return [_kron_cores(eye, c).reshape(c.shape[0], 4, 4, c.shape[-1]) for c in matrix_tt]
 
 
+@jax.jit
 def tt_MkronI(matrix_tt: TT) -> TT:
     """Lift ``M -> M (x) I`` per core (src/tt_ops.py:365-368)."""
-    eye = _asarray(np.eye(2).reshape(1, 2, 2, 1))
+    eye = jnp.eye(2, dtype=config.dtype()).reshape(1, 2, 2, 1)
     return [_kron_cores(c, eye).reshape(c.shape[0], 4, 4, c.shape[-1]) for c in matrix_tt]
 
 
