@@ -137,3 +137,38 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     _CACHE_ENABLED = True
     return path
+
+
+# --- Memory-map pressure guard ---------------------------------------------
+#
+# Every XLA:CPU executable pins ~9 anonymous mmaps (LLVM ORC code pages)
+# for the life of the process; a d3 maxcut solve creates ~17k maps and a
+# graphm run crossed the kernel default vm.max_map_count=65530, at which
+# point mmap returns ENOMEM, LLVM logs "Cannot allocate memory", and the
+# process segfaults.  jax.clear_caches() releases the executables (and
+# their maps); with the persistent compilation cache on disk, re-compiles
+# after a clear are ~9ms cache loads, so clearing under pressure is vastly
+# cheaper than the alternative.  Checked once per IPM iteration.
+
+_MAP_GUARD_THRESHOLD = 40_000
+
+
+def maybe_relieve_map_pressure(threshold: int | None = None) -> bool:
+    """Clear JAX's executable caches when /proc/self/maps gets close to
+    vm.max_map_count.  Returns True when a clear happened.  No-op on
+    platforms without /proc."""
+    limit = threshold or _MAP_GUARD_THRESHOLD
+    try:
+        with open("/proc/self/maps", "rb") as fh:
+            n_maps = sum(1 for _ in fh)
+    except OSError:
+        return False
+    try:
+        with open("/proc/sys/vm/max_map_count") as fh:
+            limit = min(limit, int(int(fh.read()) * 0.7))
+    except (OSError, ValueError):
+        pass
+    if n_maps < limit:
+        return False
+    jax.clear_caches()
+    return True

@@ -735,17 +735,37 @@ def tt_ipm(
             from ttipm_tpu.solvers.fused import tt_restarted_block_amen_fused
 
             def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
-                return tt_restarted_block_amen_fused(
-                    lhs, rhs,
-                    rank_restriction=restriction,
-                    op_tol=op_tol,
-                    ineq=is_ineq,
-                    termination_tol=termination_tol,
-                    num_restarts=mals_restarts,
-                    inner_m=nwsp,
-                    x0=x0,
-                    verbose=verbose,
-                )
+                try:
+                    return tt_restarted_block_amen_fused(
+                        lhs, rhs,
+                        rank_restriction=restriction,
+                        op_tol=op_tol,
+                        ineq=is_ineq,
+                        termination_tol=termination_tol,
+                        num_restarts=mals_restarts,
+                        inner_m=nwsp,
+                        x0=x0,
+                        verbose=verbose,
+                    )
+                except AmenRestartsExhausted:
+                    # Fall back to the reference-faithful rank-adaptive
+                    # sweep when the fixed-rank ladder can't reach the
+                    # solution rank — the same reroute-on-failure pattern
+                    # as the reference's dense->iterative local-solver
+                    # chain (src/tt_ipm.py:224-231).
+                    if verbose:
+                        print("\t[fused] restarts exhausted -> ragged AMEn")
+                    return tt_restarted_block_amen(
+                        lhs, rhs,
+                        rank_restriction=restriction,
+                        x0=x0,
+                        local_solver=local,
+                        op_tol=op_tol,
+                        termination_tol=termination_tol,
+                        num_restarts=mals_restarts,
+                        inner_m=nwsp,
+                        verbose=verbose,
+                    )
             return solver
 
         def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
@@ -805,6 +825,12 @@ def tt_ipm(
 
     while finishing_steps > 0:
         iteration += 1
+        # The shape stream leaks LLVM-ORC mmaps per compiled program; on
+        # long runs this crosses vm.max_map_count and segfaults (observed
+        # on graphm n=2).  Drop stale executables under pressure — with the
+        # persistent compile cache, re-JITs are ~9ms disk loads.
+        if _config.maybe_relieve_map_pressure() and verbose:
+            print("\t[map-pressure] cleared jit caches")
         status.aho_direction = iteration > warm_up
         if max_iter - max_refinement == iteration - 1 and not status.is_last_iter:
             if verbose:

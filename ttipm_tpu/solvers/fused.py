@@ -926,7 +926,12 @@ def tt_restarted_block_amen_fused(
         return x_cores, res
 
     for _ in range(1, num_restarts):
-        R = min(R + 4, r_cap)
+        # Geometric growth: the reference escalates rank_restriction by +4
+        # per restart (src/tt_als.py:744-825) but its sweeps are also rank-
+        # adaptive *inside*; the fused path's only adaptivity IS the
+        # restart, so doubling is needed to reach solution ranks (graphm
+        # n=2 needs middle bonds ~32-36) within the restart budget.
+        R = min(max(R + 4, 2 * R), r_cap)
         x_cores, res = tt_block_amen_fused(
             block_A, block_b, termination_tol, R, ineq, eps=eps, nswp=inner_m,
             x0=x_cores, kick_rank=4, verbose=verbose, prepped=(A, b),
