@@ -734,7 +734,30 @@ def tt_ipm(
         if _config.fused_kkt():
             from ttipm_tpu.solvers.fused import tt_restarted_block_amen_fused
 
+            # Sticky failure flag, mirroring the reference's
+            # direct_solve_failure threading (src/tt_ipm.py:224-231,
+            # src/tt_als.py:306-310): after the fused fixed-rank ladder
+            # exhausts once, later Newton solves skip straight to the
+            # rank-adaptive ragged sweep instead of re-paying the ladder.
+            state = {"fused_ok": True}
+
+            def ragged(lhs, rhs, x0, nwsp, restriction, termination_tol):
+                return tt_restarted_block_amen(
+                    lhs, rhs,
+                    rank_restriction=restriction,
+                    x0=x0,
+                    local_solver=local,
+                    op_tol=op_tol,
+                    termination_tol=termination_tol,
+                    num_restarts=mals_restarts,
+                    inner_m=nwsp,
+                    verbose=verbose,
+                )
+
             def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
+                if not state["fused_ok"]:
+                    return ragged(lhs, rhs, x0, nwsp, restriction,
+                                  termination_tol)
                 try:
                     return tt_restarted_block_amen_fused(
                         lhs, rhs,
@@ -748,24 +771,12 @@ def tt_ipm(
                         verbose=verbose,
                     )
                 except AmenRestartsExhausted:
-                    # Fall back to the reference-faithful rank-adaptive
-                    # sweep when the fixed-rank ladder can't reach the
-                    # solution rank — the same reroute-on-failure pattern
-                    # as the reference's dense->iterative local-solver
-                    # chain (src/tt_ipm.py:224-231).
+                    state["fused_ok"] = False
                     if verbose:
-                        print("\t[fused] restarts exhausted -> ragged AMEn")
-                    return tt_restarted_block_amen(
-                        lhs, rhs,
-                        rank_restriction=restriction,
-                        x0=x0,
-                        local_solver=local,
-                        op_tol=op_tol,
-                        termination_tol=termination_tol,
-                        num_restarts=mals_restarts,
-                        inner_m=nwsp,
-                        verbose=verbose,
-                    )
+                        print("\t[fused] restarts exhausted -> ragged AMEn"
+                              " (sticky)")
+                    return ragged(lhs, rhs, x0, nwsp, restriction,
+                                  termination_tol)
             return solver
 
         def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
