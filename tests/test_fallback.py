@@ -1,0 +1,46 @@
+"""The fused->ragged solver fallback chain (reference pattern:
+direct_solve_failure rerouting, /root/reference/src/tt_ipm.py:224-231).
+
+graphm n=2 exposed Newton systems whose TT solution rank (~52 on the
+middle bond) exceeds the fused fixed-rank ladder's dense-factorization
+ceiling; the IPM must reroute to the rank-adaptive ragged AMEn instead of
+letting AmenRestartsExhausted abort the Newton step, and the failure must
+be sticky across iterations.
+"""
+
+import numpy as np
+import pytest
+
+import ttipm_tpu.solvers.fused as fused_mod
+from ttipm_tpu import config
+from ttipm_tpu.ops.tt import tt_inner_prod, tt_reshape
+from ttipm_tpu.solvers.amen import AmenRestartsExhausted
+
+
+def test_ipm_survives_fused_exhaustion(monkeypatch):
+    from ttipm_tpu.ipm import tt_ipm
+    from ttipm_tpu.models.maxcut import create_problem
+
+    calls = {"fused": 0}
+
+    def always_exhausted(*a, **k):
+        calls["fused"] += 1
+        raise AmenRestartsExhausted("synthetic exhaustion")
+
+    monkeypatch.setattr(
+        fused_mod, "tt_restarted_block_amen_fused", always_exhausted
+    )
+    monkeypatch.setattr(config, "_FUSED_KKT", True)
+
+    np.random.seed(5)
+    obj_tt, L_tt, bias_tt, lag_y = create_problem(3, 1)
+    X, Y, T, Z, info = tt_ipm(
+        {"y": tt_reshape(lag_y, (4, 4))}, obj_tt, L_tt, bias_tt,
+        max_iter=8, gap_tol=3e-4, op_tol=1e-4, abs_tol=1e-3, warm_up=3,
+        aho_direction=False, mals_restarts=2, max_refinement=3,
+        lambdaStar=1.0,
+    )
+    # The fused solver was tried exactly once (sticky failure), the ragged
+    # fallback carried every Newton solve, and the IPM still converged.
+    assert calls["fused"] == 1
+    assert abs(tt_inner_prod(X, Z)) < 1e-3
