@@ -19,6 +19,19 @@ import os
 import sys
 import time
 
+# The XLA:CPU AOT cache loader logs a ~2KB machine-feature "mismatch" error
+# per loaded entry (a pseudo-feature comparison wart; entries load and run
+# correctly — ttipm_tpu/config.py).  TSL latches TF_CPP_MIN_LOG_LEVEL when
+# jax first imports, which a sitecustomize hook may do before this file
+# runs, so suppression needs a re-exec with the env var set.
+if (
+    os.environ.get("TF_CPP_MIN_LOG_LEVEL") != "3"
+    and os.environ.get("TTIPM_NO_REEXEC") is None
+):
+    os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    os.environ["TTIPM_NO_REEXEC"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 # Provisional wall-clock estimates (seconds) for the Cython CPU reference

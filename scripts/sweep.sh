@@ -8,6 +8,12 @@
 # per-dim timeout budget (40000*dim seconds) and tees logs to results/.
 set -euo pipefail
 
+# Silence the XLA:CPU AOT cache loader's per-entry machine-feature E-spam
+# (a pseudo-feature comparison wart — see ttipm_tpu/config.py); must be in
+# the environment before the interpreter starts because sitecustomize
+# imports jax at startup.
+export TF_CPP_MIN_LOG_LEVEL=3
+
 PROBLEM=${1:?usage: sweep.sh <problem> <start_dim> <end_dim> <rank> [--track_mem]}
 START_DIM=${2:?start_dim}
 END_DIM=${3:?end_dim}

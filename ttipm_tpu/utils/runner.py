@@ -304,4 +304,20 @@ def save_results_summary(config, args, rec, filename: Optional[str] = None):
 
 
 if __name__ == "__main__":
+    import sys
+
+    # Suppress the XLA:CPU AOT loader's per-entry E-spam (see bench.py /
+    # ttipm_tpu/config.py); TSL latches the env var at jax import, which a
+    # sitecustomize hook performs before this module runs, so a re-exec
+    # with the var set is the only reliable switch.
+    if (
+        os.environ.get("TF_CPP_MIN_LOG_LEVEL") != "3"
+        and os.environ.get("TTIPM_NO_REEXEC") is None
+    ):
+        os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+        os.environ["TTIPM_NO_REEXEC"] = "1"
+        os.execv(
+            sys.executable,
+            [sys.executable, "-m", "ttipm_tpu.utils.runner"] + sys.argv[1:],
+        )
     run_experiment()
