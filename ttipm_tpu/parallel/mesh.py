@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ttipm_tpu import config
+from ttipm_tpu.ops.linalg import qr_solve
 
 __all__ = ["make_mesh", "sharded_newton_micro", "batched_solve_metrics"]
 
@@ -55,7 +56,7 @@ def _local_kkt_microstep(phi_l, A_core, phi_r, rhs):
     B_partial = jnp.einsum("lsr,smnS,LSR->lmLrnR", phi_l, A_core, phi_r).reshape(m, m)
     B = jax.lax.psum(B_partial, axis_name="kkt")
     B = B + 1e-10 * jnp.eye(m, dtype=B.dtype)
-    x = jnp.linalg.solve(B, rhs.reshape(m))
+    x = qr_solve(B, rhs.reshape(m))
     res = jnp.linalg.norm(B @ x - rhs.reshape(m))
     return x.reshape(rhs.shape), res
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ttipm_tpu import config
+from ttipm_tpu.ops.linalg import qr_solve
 from ttipm_tpu.ops.rounding import (
     pad_bond_factors,
     prune_singular_vals,
@@ -634,7 +635,7 @@ def make_default_local_solver(rtol: float = 1e-10):
                     kk, tt_ = block_A_k.aliases[i, j]
                     B = B.at[kk, :, tt_, :].add(local)
             rhs_flat = jnp.transpose(rhs, (1, 0, 2, 3)).reshape(-1)
-            x = jnp.linalg.solve(B.reshape(block_size * m, block_size * m), rhs_flat)
+            x = qr_solve(B.reshape(block_size * m, block_size * m), rhs_flat)
             if bool(jnp.all(jnp.isfinite(x))):
                 solution_now = jnp.transpose(
                     x.reshape(block_size, x_shape[0], x_shape[2], x_shape[3]),

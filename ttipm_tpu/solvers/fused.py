@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ttipm_tpu import config
+from ttipm_tpu.ops.linalg import qr_apply, qr_factor, qr_solve
 from ttipm_tpu.solvers.amen import AmenToleranceReached, AmenRestartsExhausted
 
 __all__ = ["tt_restarted_block_amen_fused", "tt_block_amen_fused"]
@@ -182,7 +183,7 @@ def _dense_solve(pl, A, pr, inv_I, rhs, ineq: bool):
         S = mL_eq @ (S @ mL_eq.T)
         S = S + _proj(pl["00"], A["00"], pr["00"])
         S = S + 1e-11 * jnp.eye(m, dtype=S.dtype)
-        y = jnp.linalg.solve(S, b_vec)
+        y = qr_solve(S, b_vec)
         y3 = y.reshape(r, n, R)
         z = inv_I * (rhs[:, 1] - _apply_T(pl["01"], A["01"], pr["01"], y3))
         x = _chol_solve(
@@ -204,11 +205,11 @@ def _dense_solve(pl, A, pr, inv_I, rhs, ineq: bool):
     D = D + 1e-11 * jnp.eye(m, dtype=D.dtype)
     TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
     YT = mL_eq @ Lz_inv_Lx
-    lu, piv = jax.scipy.linalg.lu_factor(D)
-    rhs_y = u - YT @ jax.scipy.linalg.lu_solve((lu, piv), v)
-    lhs_y = S - YT @ jax.scipy.linalg.lu_solve((lu, piv), TY)
-    y = jnp.linalg.solve(lhs_y, rhs_y)
-    t = jax.scipy.linalg.lu_solve((lu, piv), v - TY @ y)
+    d_qr = qr_factor(D)
+    rhs_y = u - YT @ qr_apply(d_qr, v)
+    lhs_y = S - YT @ qr_apply(d_qr, TY)
+    y = qr_solve(lhs_y, rhs_y)
+    t = qr_apply(d_qr, v - TY @ y)
     y3 = y.reshape(r, n, R)
     t3 = t.reshape(r, n, R)
     z3 = (

@@ -27,6 +27,7 @@ from ttipm_tpu.solvers.lgmres import gmres_restarted
 import numpy as np
 
 from ttipm_tpu import config
+from ttipm_tpu.ops.linalg import qr_apply, qr_factor, qr_solve
 
 __all__ = ["ipm_local_solver", "ipm_local_solver_ineq"]
 
@@ -75,7 +76,7 @@ def _dense_eq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21, p21r,
     A = mL_eq @ (A @ mL_eq.T)
     A = A + jnp.einsum("lsr,smnS,LSR->lmLrnR", p00l, a00, p00r).reshape(m, m)
     A = A + 1e-11 * jnp.eye(m, dtype=A.dtype)
-    y = jnp.linalg.solve(A, b)
+    y = qr_solve(A, b)
     y3 = y.reshape(r, n, R)
     z = inv_I * (
         rhs[:, 1] - jnp.einsum("lsr,smnS,LSR,lmL->rnR", p01l, a01, p01r, y3)
@@ -132,11 +133,11 @@ def _dense_ineq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21, p21r,
     D = D + 1e-11 * jnp.eye(m, dtype=D.dtype)
     TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
     YT = mL_eq @ Lz_inv_Lx
-    lu, piv = jla.lu_factor(D)
-    rhs_y = u - YT @ jla.lu_solve((lu, piv), v)
-    lhs_y = A - YT @ jla.lu_solve((lu, piv), TY)
-    y = jnp.linalg.solve(lhs_y, rhs_y)
-    t = jla.lu_solve((lu, piv), v - TY @ y)
+    d_qr = qr_factor(D)
+    rhs_y = u - YT @ qr_apply(d_qr, v)
+    lhs_y = A - YT @ qr_apply(d_qr, TY)
+    y = qr_solve(lhs_y, rhs_y)
+    t = qr_apply(d_qr, v - TY @ y)
     y3 = y.reshape(r, n, R)
     t3 = t.reshape(r, n, R)
     z3 = (
