@@ -699,8 +699,14 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
     axis on core 0 (direction -1) or core d-1 (direction +1) — same
     convention as solvers/amen.py::find_block_core."""
     if x0 is not None and _x0_direction(x0, d, bs) == direction:
-        cores = _np_svd_retract(_np_cores(x0), caps)
-        return [jnp.asarray(c) for c in cores]
+        np_cores = _np_cores(x0)
+        finite = all(np.isfinite(c).all() for c in np_cores)
+        if finite:
+            try:
+                cores = _np_svd_retract(np_cores, caps)
+                return [jnp.asarray(c) for c in cores]
+            except np.linalg.LinAlgError:
+                pass  # pathological warm start -> fresh Gaussian below
     if direction > 0:
         head = [rng.randn(1, 4, caps[0])] + [
             rng.randn(caps[k - 1], 4, caps[k]) for k in range(1, d - 1)
