@@ -30,6 +30,14 @@ _ttipm_config.enable_persistent_cache()
 import numpy as np
 import pytest
 
+# TTIPM_FORCE_JACOBI=1 runs the whole suite through the TPU-only Jacobi
+# SVD/eigh path (ops/jacobi.py) on the CPU backend — CI coverage for the
+# on-chip factorizations without TPU hardware.
+if os.environ.get("TTIPM_FORCE_JACOBI") == "1":
+    from ttipm_tpu.ops import jacobi as _jacobi
+
+    _jacobi.force_jacobi(True)
+
 
 @pytest.fixture(autouse=True)
 def _seed():

@@ -1,0 +1,86 @@
+"""Jacobi safe_svd / safe_eigh vs LAPACK oracles (forced on CPU).
+
+These guard the TPU-only code path: v5e f64 QDWH svd/eigh NaN on zero
+columns and clustered tiny spectra (scripts/tpu_probe_*.py), so the
+Jacobi factorizations replace them on-chip.
+"""
+
+import numpy as np
+import pytest
+
+from ttipm_tpu.ops import jacobi
+
+
+@pytest.fixture(autouse=True)
+def _force():
+    jacobi.force_jacobi(True)
+    yield
+    jacobi.force_jacobi(None)
+
+
+def _gallery():
+    rng = np.random.RandomState(0)
+    n = 24
+    q1, _ = np.linalg.qr(rng.randn(n, n))
+    q2, _ = np.linalg.qr(rng.randn(n, n))
+    A = (q1 * np.logspace(0, -6, n)) @ q2.T
+    Z = A.copy(); Z[:, 20:] = 0.0
+    T = A.copy(); T[:, 20:] *= 1e-15
+    D = A.copy(); D[:, -1] = D[:, 0]
+    cases = {
+        "well_cond": A,
+        "zero_cols": Z,
+        "tiny_cols": T,
+        "dup_col": D,
+        "cond_1e14": (q1 * np.logspace(0, -14, n)) @ q2.T,
+        "scaled_1e18": A * 1e18,
+        "scaled_1e-18": A * 1e-18,
+        "zero": np.zeros((n, n)),
+        "tall": rng.randn(53, 17),
+        "tall_zero_cols": np.hstack([rng.randn(40, 9), np.zeros((40, 4))]),
+        "wide": rng.randn(17, 53),
+        "wide_odd": rng.randn(15, 22),
+        "one_col": rng.randn(9, 1),
+        "one_row": rng.randn(1, 9),
+    }
+    return cases
+
+
+@pytest.mark.parametrize("name", list(_gallery().keys()))
+def test_safe_svd(name):
+    a = _gallery()[name]
+    u, s, vt = (np.asarray(x) for x in jacobi.safe_svd(a))
+    assert np.isfinite(u).all() and np.isfinite(s).all() and np.isfinite(vt).all()
+    amax = max(np.abs(a).max(), 1.0e-30)
+    # exact split
+    rec = np.max(np.abs((u * s) @ vt - a)) / amax
+    assert rec < 1e-11, rec
+    # u orthonormal including nullspace directions
+    orth = np.max(np.abs(u.T @ u - np.eye(u.shape[1])))
+    assert orth < 1e-12, orth
+    # singular values match LAPACK (relative to sigma_max)
+    sref = np.linalg.svd(a, compute_uv=False)
+    k = min(len(s), len(sref))
+    assert np.max(np.abs(np.sort(s)[::-1][:k] - sref[:k])) / max(sref[0] if len(sref) else 1.0, 1e-30) < 1e-10
+    # descending (up to tolerance-level ties)
+    assert np.all(np.diff(s) <= 1e-10 * (s[0] + 1e-30))
+
+
+def test_safe_eigh_gallery():
+    rng = np.random.RandomState(1)
+    for n in [2, 7, 24]:
+        q, _ = np.linalg.qr(rng.randn(n, n))
+        for spec in [np.linspace(-3, 5, n), np.zeros(n),
+                     np.r_[np.zeros(n // 2), np.logspace(-14, 0, n - n // 2)]]:
+            a = (q * spec) @ q.T
+            a = 0.5 * (a + a.T)
+            w, v = (np.asarray(x) for x in jacobi.safe_eigh(a))
+            assert np.isfinite(w).all() and np.isfinite(v).all()
+            wref = np.linalg.eigvalsh(a)
+            assert np.max(np.abs(np.sort(w) - wref)) < 1e-11 * max(
+                1.0, np.abs(wref).max()
+            )
+            assert np.max(np.abs(v @ np.diag(w) @ v.T - a)) < 1e-11 * max(
+                1.0, np.abs(wref).max()
+            )
+            assert np.max(np.abs(v.T @ v - np.eye(n))) < 1e-12

@@ -1,0 +1,305 @@
+"""TPU-safe SVD / symmetric eigendecomposition via Jacobi rotations.
+
+Why this exists (measured on v5e, 2026-08-18, scripts/tpu_probe_*.py):
+
+* TPU XLA emulates f64 as an f32 pair with f32's EXPONENT RANGE: 1e300
+  overflows to inf, 1e-300 and even 1e-38 underflow to zero.  Division
+  guards must use ``TINY`` (1e-30) instead of 1e-300, and norms of
+  matrices with entries beyond ~1e18 overflow when squared.
+* The QDWH-based ``jnp.linalg.svd``/``eigh`` NaN on v5e-f64 for matrices
+  with exact zero columns, clustered tiny singular values (e.g. a block
+  of columns scaled by 1e-15), and mixed-scale spectra — all of which the
+  padded-rank TT sweeps produce routinely.  CPU LAPACK handles every such
+  case.  The failure is inside the eigh primitive itself (stepwise bisect
+  in scripts/tpu_probe_steps.py).
+
+The fix: factorizations built ONLY from primitives that measured robust
+on-chip (Householder QR: 2e-15; elementwise arithmetic) — one-sided
+Jacobi for the SVD, two-sided Jacobi for symmetric eigh.  Both run as a
+single ``lax.while_loop`` program with a static round-robin rotation
+schedule (n/2 disjoint rotations per step, n-1 steps per sweep), so a
+whole factorization is one XLA dispatch.  Jacobi also delivers *high
+relative accuracy* singular values — better than QDWH for the tiny
+singular values the TT rounding thresholds (down to 1e-12, reference
+cy_src/tt_ops_cy.pyx:188) care about.
+
+``safe_svd``/``safe_eigh`` dispatch per backend at trace time: CPU keeps
+LAPACK (faster, equally robust); TPU takes the Jacobi path.
+
+Replaces LAPACK ``gesvd``/``syevd`` (reference cy_src/tt_ops_cy.pyx:205-211,
+src/tt_als.py:963-1021) on hardware where XLA's own replacements fail.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TINY", "safe_svd", "safe_eigh", "jacobi_svd", "jacobi_eigh"]
+
+# Smallest magnitude that is safely representable AND whose square is
+# representable in v5e's f32-pair f64 emulation (min normal ~1e-38; we
+# keep squares of guard quotients finite too).
+TINY = 1e-30
+
+# Off-diagonal reduction target, relative.  f32-pair arithmetic carries
+# ~2^-49 relative precision; 1e-14 leaves headroom without extra sweeps.
+_JACOBI_TOL = 1e-14
+_MAX_SWEEPS = 26
+
+
+@lru_cache(maxsize=64)
+def _round_robin(n: int):
+    """Static (n-1, n/2) round-robin pairing schedule (n even): every
+    unordered column pair meets exactly once per sweep, each step's pairs
+    are disjoint so their rotations commute and apply simultaneously."""
+    assert n % 2 == 0
+    arr = list(range(n))
+    ii, jj = [], []
+    for _ in range(n - 1):
+        ii.append(arr[: n // 2])
+        jj.append(arr[n // 2:][::-1])
+        arr = [arr[0]] + [arr[-1]] + arr[1:-1]
+    return np.asarray(ii, dtype=np.int32), np.asarray(jj, dtype=np.int32)
+
+
+def _svd_rotations(a, b, c, dtype):
+    """One-sided Jacobi rotation (cs, sn) orthogonalising column pairs
+    with Gram entries (a=<wi,wi>, b=<wj,wj>, c=<wi,wj>)."""
+    denom = jnp.sqrt(a * b)
+    rotate = jnp.abs(c) > _JACOBI_TOL * denom
+    c_safe = jnp.where(rotate, c, jnp.ones_like(c))
+    tau = (b - a) / (2.0 * c_safe)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # overflowing tau (clustered tiny columns) -> t==0 -> identity, which
+    # is the correct limit of the rotation angle
+    t = jnp.where(jnp.isfinite(t), t, jnp.zeros_like(t))
+    cs = 1.0 / jnp.sqrt(1.0 + t * t)
+    sn = cs * t
+    cs = jnp.where(rotate, cs, jnp.ones_like(cs)).astype(dtype)
+    sn = jnp.where(rotate, sn, jnp.zeros_like(sn)).astype(dtype)
+    return cs, sn
+
+
+@partial(jax.jit, static_argnames=())
+def _jacobi_orthogonalise(w):
+    """Rotate the columns of ``w`` (m, n even) to mutual orthogonality.
+    Returns (w_rot, v) with w_rot = w @ v and v exactly orthonormal."""
+    m, n = w.shape
+    sched_i, sched_j = _round_robin(n)
+    si = jnp.asarray(sched_i)
+    sj = jnp.asarray(sched_j)
+    v0 = jnp.eye(n, dtype=w.dtype)
+
+    def one_step(k, wv):
+        w, v = wv
+        ii, jj = si[k], sj[k]
+        wi, wj = w[:, ii], w[:, jj]
+        a = jnp.sum(wi * wi, axis=0)
+        b = jnp.sum(wj * wj, axis=0)
+        c = jnp.sum(wi * wj, axis=0)
+        cs, sn = _svd_rotations(a, b, c, w.dtype)
+        w = w.at[:, ii].set(cs * wi - sn * wj).at[:, jj].set(sn * wi + cs * wj)
+        vi, vj = v[:, ii], v[:, jj]
+        v = v.at[:, ii].set(cs * vi - sn * vj).at[:, jj].set(sn * vi + cs * vj)
+        return w, v
+
+    def sweep(state):
+        w, v, swp, _ = state
+        w, v = jax.lax.fori_loop(0, n - 1, one_step, (w, v))
+        g = w.T @ w
+        d = jnp.diagonal(g)
+        # clamp AFTER the sqrt: TINY**2 itself underflows to 0 in v5e's
+        # f32-pair f64 (min normal ~1e-38) and 0/0 here NaN'd the loop
+        # condition, silently stopping after one sweep
+        scale = jnp.maximum(jnp.sqrt(jnp.abs(d[:, None] * d[None, :])), TINY)
+        off = jnp.abs(g - jnp.diag(d)) / scale
+        return w, v, swp + 1, jnp.max(off)
+
+    def keep_going(state):
+        _, _, swp, off = state
+        return (swp < _MAX_SWEEPS) & (off > _JACOBI_TOL)
+
+    w, v, _, _ = jax.lax.while_loop(
+        keep_going, sweep, (w, v0, jnp.int32(0), jnp.asarray(jnp.inf, w.dtype))
+    )
+    return w, v
+
+
+def _jacobi_factor_tall(a):
+    """Shared tall-matrix (m >= n) pipeline: a/scale == (q @ qw) @ rw @
+    v_s.T with q, qw, v_s (exactly) orthonormal and rw upper-triangular,
+    rows ordered by descending norm (~ the singular values)."""
+    m, n = a.shape
+    scale = jnp.max(jnp.abs(a))
+    scale = jnp.where(jnp.isfinite(scale) & (scale > 0), scale,
+                      jnp.ones((), a.dtype))
+    q, r = jnp.linalg.qr(a / scale)
+    pad = n % 2
+    r_pad = jnp.pad(r, ((0, 0), (0, pad))) if pad else r
+    w, v = _jacobi_orthogonalise(r_pad)
+    # sort columns by descending norm; a padded column is exactly zero
+    # (rotations against it are skipped) and sorts last
+    norms2 = jnp.sum(w * w, axis=0)
+    order = jnp.argsort(-norms2)[:n]
+    w_s = w[:, order]
+    v_s = v[:n, order] if pad else v[:, order]
+    # Householder-QR completion: orthonormal basis even for zero columns
+    qw, rw = jnp.linalg.qr(w_s)
+    return q, qw, rw, v_s, scale
+
+
+def jacobi_svd(a):
+    """``u, s, vt`` with ``u @ (s[:, None] * vt) == a`` to arithmetic
+    precision and ``u`` EXACTLY orthonormal in both orientations: for a
+    tall input u comes from composed Householder QRs; for a wide input it
+    is the Jacobi rotation product, orthonormal by construction even in
+    the nullspace (XLA's QDWH SVD NaNs there on v5e f64).  vt rows are
+    unit-normalised; rows at s == 0 are zero, not orthonormal completions.
+    """
+    m, n = a.shape
+    if m >= n:
+        q, qw, rw, v_s, scale = _jacobi_factor_tall(a)
+        u = q @ qw
+        s = jnp.linalg.norm(rw, axis=1)
+        coeff = rw @ v_s.T  # (n, n)
+        vt = coeff / jnp.maximum(s, TINY)[:, None]
+        return u, s * scale, vt
+    # wide input: aT = (q @ qw) @ rw @ v_sT, hence
+    #             a  = v_s @ rwT @ (q @ qw)T.
+    q, qw, rw, v_s, scale = _jacobi_factor_tall(a.T)
+    u = v_s  # (m, m), exactly orthonormal
+    s = jnp.linalg.norm(rw, axis=0)  # == row norms of rw.T == norms of coeff rows
+    coeff = rw.T @ (q @ qw).T  # (m, n)
+    vt = coeff / jnp.maximum(s, TINY)[:, None]
+    return u, s * scale, vt
+
+
+def safe_svd(a, full_matrices: bool = False):
+    """Drop-in for ``jnp.linalg.svd(a, full_matrices=False)`` that cannot
+    NaN on v5e f64 emulation.  On CPU this is LAPACK; on TPU a one-sided
+    Jacobi factorization (see module docstring).  Contract: u orthonormal
+    (exactly, including nullspace directions), u @ (s[:, None] * vt) == a
+    to arithmetic precision, s >= 0 descending.  vt rows at s == 0 are
+    zero rather than orthonormal completions."""
+    assert not full_matrices, "safe_svd supports full_matrices=False only"
+    if not _use_jacobi():
+        return jnp.linalg.svd(a, full_matrices=False)
+    return jacobi_svd(a)
+
+
+# --- symmetric eigendecomposition -----------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def _jacobi_eigh_core(a):
+    """Cyclic two-sided Jacobi for a symmetric (n, n) matrix, n even.
+    Returns (w ascending, V) with a == V @ diag(w) @ V.T."""
+    n = a.shape[0]
+    sched_i, sched_j = _round_robin(n)
+    si = jnp.asarray(sched_i)
+    sj = jnp.asarray(sched_j)
+    v0 = jnp.eye(n, dtype=a.dtype)
+
+    def one_step(k, av):
+        a, v = av
+        ii, jj = si[k], sj[k]
+        aii = a[ii, ii]
+        ajj = a[jj, jj]
+        aij = a[ii, jj]
+        # rotation zeroing a_ij (Golub & Van Loan 8.4)
+        rotate = jnp.abs(aij) > _JACOBI_TOL * jnp.sqrt(
+            jnp.abs(aii * ajj) + TINY
+        )
+        aij_safe = jnp.where(rotate, aij, jnp.ones_like(aij))
+        tau = (ajj - aii) / (2.0 * aij_safe)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(jnp.isfinite(t), t, jnp.zeros_like(t))
+        cs = 1.0 / jnp.sqrt(1.0 + t * t)
+        sn = cs * t
+        cs = jnp.where(rotate, cs, jnp.ones_like(cs))
+        sn = jnp.where(rotate, sn, jnp.zeros_like(sn))
+        # column rotation
+        ai, aj = a[:, ii], a[:, jj]
+        a = a.at[:, ii].set(cs * ai - sn * aj).at[:, jj].set(sn * ai + cs * aj)
+        # row rotation (pairs disjoint -> commuting updates)
+        ari, arj = a[ii, :], a[jj, :]
+        a = a.at[ii, :].set(cs[:, None] * ari - sn[:, None] * arj)
+        a = a.at[jj, :].set(sn[:, None] * ari + cs[:, None] * arj)
+        vi, vj = v[:, ii], v[:, jj]
+        v = v.at[:, ii].set(cs * vi - sn * vj).at[:, jj].set(sn * vi + cs * vj)
+        return a, v
+
+    def sweep(state):
+        a, v, swp, _ = state
+        a, v = jax.lax.fori_loop(0, n - 1, one_step, (a, v))
+        d = jnp.abs(jnp.diagonal(a))
+        # see _jacobi_orthogonalise: clamp after sqrt (TINY**2 underflows
+        # to 0 on v5e f64 emulation -> 0/0 -> NaN loop exit)
+        scale = jnp.maximum(jnp.sqrt(d[:, None] * d[None, :]), TINY)
+        off = jnp.abs(a - jnp.diag(jnp.diagonal(a))) / scale
+        return a, v, swp + 1, jnp.max(off)
+
+    def keep_going(state):
+        _, _, swp, off = state
+        return (swp < _MAX_SWEEPS) & (off > _JACOBI_TOL)
+
+    a, v, _, _ = jax.lax.while_loop(
+        keep_going, sweep, (a, v0, jnp.int32(0), jnp.asarray(jnp.inf, a.dtype))
+    )
+    w = jnp.diagonal(a)
+    order = jnp.argsort(w)
+    return w[order], v[:, order]
+
+
+def jacobi_eigh(a):
+    """Symmetric eigendecomposition via two-sided Jacobi (ascending)."""
+    n = a.shape[0]
+    scale = jnp.max(jnp.abs(a))
+    scale = jnp.where(jnp.isfinite(scale) & (scale > 0), scale,
+                      jnp.ones((), a.dtype))
+    an = a / scale
+    if n % 2:
+        # pad with a decoupled zero row/column: its off-diagonals are
+        # exactly zero, so rotations against it are always skipped and
+        # (eigenvalue 0, eigenvector e_n) passes through untouched
+        an = jnp.pad(an, ((0, 1), (0, 1)))
+        w, v = _jacobi_eigh_core(an)
+        # drop the padded eigenpair: it is the one whose eigenvector is
+        # (numerically exactly) e_n — rotations against the zero row are
+        # skipped, so v[n] stays e_n^T in exactly one column
+        pad_col = jnp.argmax(jnp.abs(v[n, :]))
+        keep = jnp.arange(n + 1)
+        keep = jnp.where(keep < pad_col, keep, keep + 1)[:n]
+        return w[keep] * scale, v[:n, keep]
+    w, v = _jacobi_eigh_core(an)
+    return w * scale, v
+
+
+def safe_eigh(a):
+    """Drop-in for ``jnp.linalg.eigh`` of a real symmetric matrix that
+    cannot NaN on v5e f64 (two-sided Jacobi on TPU, LAPACK on CPU)."""
+    if not _use_jacobi():
+        return jnp.linalg.eigh(a)
+    return jacobi_eigh(a)
+
+
+# --- backend dispatch -------------------------------------------------------
+
+_FORCE_JACOBI = None  # None = auto (by backend), True/False = override
+
+
+def force_jacobi(flag):
+    """Test hook: force (True) or forbid (False) the Jacobi path; None
+    restores backend auto-detection."""
+    global _FORCE_JACOBI
+    _FORCE_JACOBI = flag
+
+
+def _use_jacobi() -> bool:
+    if _FORCE_JACOBI is not None:
+        return _FORCE_JACOBI
+    return jax.default_backend() == "tpu"

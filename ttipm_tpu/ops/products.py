@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import safe_svd
+
 from ttipm_tpu import config
 from ttipm_tpu.ops.rounding import (
     add_kick_rank,
@@ -171,7 +173,7 @@ def _als_product_sweeps(
             else:
                 mat = x_cores[k].reshape(rx[k], -1).T
             if k > 0:
-                u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+                u, s, v_t = safe_svd(mat, full_matrices=False)
                 v = s[:, None] * v_t
                 r = prune_singular_vals(np.asarray(s), tol_bond)
                 if not last:
@@ -209,7 +211,7 @@ def _als_product_sweeps(
             mat = sol.reshape(-1, rx[k + 1])
             if k < d - 1:
                 nrmsc *= normx[k] / norm_phi[k]
-                u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+                u, s, v_t = safe_svd(mat, full_matrices=False)
                 v = s[:, None] * v_t
                 r = prune_singular_vals(np.asarray(s), tol_bond)
                 if not last:

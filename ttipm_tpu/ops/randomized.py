@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import safe_svd
+
 from ttipm_tpu import config
 from ttipm_tpu.ops.tt import TT, tt_swap_all
 
@@ -130,7 +132,7 @@ def tt_generalised_nystroem(train_tt: TT, target_ranks: List[int]) -> TT:
     rl = tt_rl_contraction(out, g2)
     Ls, Rs = [], []
     for W_L, W_R in zip(lr, rl):
-        u, s, v_t = jnp.linalg.svd(W_L @ W_R, full_matrices=False)
+        u, s, v_t = safe_svd(W_L @ W_R, full_matrices=False)
         root_s_inv = jnp.diag(1.0 / jnp.sqrt(s))
         Ls.append(W_R @ v_t.T @ root_s_inv)
         Rs.append(root_s_inv @ u.T @ W_L)

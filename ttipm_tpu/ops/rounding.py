@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import safe_svd
+
 from ttipm_tpu import config
 from ttipm_tpu.ops.tt import TT, tt_add, tt_ranks, tt_swap_all
 
@@ -111,7 +113,7 @@ def _qr_econ(mat: jax.Array):
 
 
 def _svd_econ(mat: jax.Array):
-    return jnp.linalg.svd(mat, full_matrices=False)
+    return safe_svd(mat, full_matrices=False)
 
 
 # Fused per-bond kernels (cached per shape signature): one compiled kernel
@@ -138,7 +140,7 @@ def _rl_bond_kernel(core, prev):
 @jax.jit
 def _bond_svd(core):
     """Economy SVD of the left unfolding (rows = left bond x physical)."""
-    return jnp.linalg.svd(
+    return safe_svd(
         core.reshape(-1, core.shape[-1]), full_matrices=False
     )
 

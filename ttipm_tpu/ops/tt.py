@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import safe_svd
+
 from ttipm_tpu import config
 
 __all__ = [
@@ -374,7 +376,7 @@ def _break_core_bond(core: jax.Array, err_bound: float = 1e-18):
     shape = core.shape
     k = len(shape) // 2
     mat = core.reshape(int(np.prod(shape[:k])), -1)
-    u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, v_t = safe_svd(mat, full_matrices=False)
     s_host = np.asarray(s)
     keep = np.nonzero(np.abs(s_host) > err_bound)[0]
     if keep.size == 0:
@@ -521,7 +523,7 @@ def tt_svd(tensor, err_bound: float = 1e-18) -> TT:
     cores: TT = []
     for i in range(len(shape) - 1):
         mat = tensor.reshape(rank * shape[i], -1)
-        u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+        u, s, v_t = safe_svd(mat, full_matrices=False)
         s_host = np.asarray(s)
         keep = np.nonzero(s_host >= min(s_host.max(initial=0.0), bound))[0]
         if keep.size == 0:

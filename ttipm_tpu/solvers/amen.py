@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import safe_svd
+
 from ttipm_tpu import config
 from ttipm_tpu.ops.linalg import qr_solve
 from ttipm_tpu.ops.rounding import (
@@ -182,7 +184,7 @@ def _bck_sweep(
                 resz = jnp.reshape(z_cores[k], (rz[k] * block_size, N[k] * rz[k + 1])).T
 
         if k > 0:
-            u, s, v_t = jnp.linalg.svd(solution_mat, full_matrices=False)
+            u, s, v_t = safe_svd(solution_mat, full_matrices=False)
             v = s[:, None] * v_t
 
             if have_solve:
@@ -335,7 +337,7 @@ def _fwd_sweep(
                 )
 
         if k < d - 1:
-            u, s, v_t = jnp.linalg.svd(solution_mat, full_matrices=False)
+            u, s, v_t = safe_svd(solution_mat, full_matrices=False)
             v = s[:, None] * v_t
             u3 = u.reshape(rx[k], N[k], -1)
 

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import TINY, safe_eigh, safe_svd
+
 from ttipm_tpu import config
 from ttipm_tpu.ops.rounding import (
     add_kick_rank,
@@ -49,12 +51,12 @@ def _rayleigh_ritz_smallest(W, AW, BW):
     G_a = W.T @ AW
     G_b = W.T @ BW
     # Whiten with G_b^{-1/2} via eigh; drop near-null directions.
-    eb, Ub = jnp.linalg.eigh(0.5 * (G_b + G_b.T))
+    eb, Ub = safe_eigh(0.5 * (G_b + G_b.T))
     keep = eb > 1e-12 * jnp.max(jnp.abs(eb))
     inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, eb, 1.0)), 0.0)
     T = Ub * inv_sqrt[None, :]
     H = T.T @ (0.5 * (G_a + G_a.T)) @ T
-    ev, Uv = jnp.linalg.eigh(H)
+    ev, Uv = safe_eigh(H)
     c = T @ Uv[:, 0]
     return ev[0], W @ c
 
@@ -75,9 +77,9 @@ def lobpcg_smallest(
     n = x0.size
     x = x0.reshape(-1)
     nrm = jnp.linalg.norm(x)
-    x = jnp.where(nrm > 0, x / jnp.maximum(nrm, 1e-300), jnp.ones_like(x) / np.sqrt(n))
+    x = jnp.where(nrm > 0, x / jnp.maximum(nrm, TINY), jnp.ones_like(x) / np.sqrt(n))
     bx = b_matvec(x) if b_matvec is not None else x
-    x = x / jnp.sqrt(jnp.abs(jnp.vdot(x, bx)) + 1e-300)
+    x = x / jnp.sqrt(jnp.abs(jnp.vdot(x, bx)) + TINY)
 
     p = None
     lam = None
@@ -85,7 +87,7 @@ def lobpcg_smallest(
     for _ in range(maxiter):
         ax = matvec(x)
         bx = b_matvec(x) if b_matvec is not None else x
-        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), TINY)
         r = ax - lam * bx
         res_norm = float(jnp.linalg.norm(r))
         if res_norm < tol:
@@ -93,7 +95,7 @@ def lobpcg_smallest(
         cols = [x, r] if p is None else [x, r, p]
         W = jnp.stack(cols, axis=1)
         # Normalize columns for conditioning
-        W = W / jnp.maximum(jnp.linalg.norm(W, axis=0, keepdims=True), 1e-300)
+        W = W / jnp.maximum(jnp.linalg.norm(W, axis=0, keepdims=True), TINY)
         AW = jnp.stack([matvec(W[:, i]) for i in range(W.shape[1])], axis=1)
         BW = (
             jnp.stack([b_matvec(W[:, i]) for i in range(W.shape[1])], axis=1)
@@ -104,12 +106,12 @@ def lobpcg_smallest(
         p = x_new - x * jnp.vdot(x, x_new)
         pn = jnp.linalg.norm(p)
         p = None if float(pn) < 1e-14 else p / pn
-        x = x_new / jnp.maximum(jnp.linalg.norm(x_new), 1e-300)
+        x = x_new / jnp.maximum(jnp.linalg.norm(x_new), TINY)
         lam = lam_new
     if lam is None:
         ax = matvec(x)
         bx = b_matvec(x) if b_matvec is not None else x
-        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), TINY)
         res_norm = float(jnp.linalg.norm(ax - lam * bx))
     return float(lam), x, res_norm
 
@@ -178,21 +180,21 @@ def _lobpcg_fused(kind, ops, x0, tol, maxiter, alpha):
     def rr(W, AW, BW):
         G_a = W.T @ AW
         G_b = W.T @ BW
-        eb, Ub = jnp.linalg.eigh(0.5 * (G_b + G_b.T))
+        eb, Ub = safe_eigh(0.5 * (G_b + G_b.T))
         keep = eb > 1e-12 * jnp.max(jnp.abs(eb))
         inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, eb, 1.0)), 0.0)
         T = Ub * inv_sqrt[None, :]
         H = T.T @ (0.5 * (G_a + G_a.T)) @ T
-        ev, Uv = jnp.linalg.eigh(H)
+        ev, Uv = safe_eigh(H)
         c = T @ Uv[:, 0]
         return ev[0], W @ c
 
     x = x0.reshape(-1)
     nrm = jnp.linalg.norm(x)
-    x = jnp.where(nrm > 0, x / jnp.maximum(nrm, 1e-300),
+    x = jnp.where(nrm > 0, x / jnp.maximum(nrm, TINY),
                   jnp.ones_like(x) / np.sqrt(n))
     bx = bmv(x)
-    x = x / jnp.sqrt(jnp.abs(jnp.vdot(x, bx)) + 1e-300)
+    x = x / jnp.sqrt(jnp.abs(jnp.vdot(x, bx)) + TINY)
     p = jnp.zeros_like(x)
 
     def cond(state):
@@ -203,18 +205,18 @@ def _lobpcg_fused(kind, ops, x0, tol, maxiter, alpha):
         x, p, lam, res, it = state
         ax = mv(x)
         bx = bmv(x)
-        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+        lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), TINY)
         r = ax - lam * bx
         res = jnp.linalg.norm(r)
         W = jnp.stack([x, r, p], axis=1)
-        W = W / jnp.maximum(jnp.linalg.norm(W, axis=0, keepdims=True), 1e-300)
+        W = W / jnp.maximum(jnp.linalg.norm(W, axis=0, keepdims=True), TINY)
         AW = jnp.stack([mv(W[:, i]) for i in range(3)], axis=1)
         BW = jnp.stack([bmv(W[:, i]) for i in range(3)], axis=1)
         lam_new, x_new = rr(W, AW, BW)
         p_new = x_new - x * jnp.vdot(x, x_new)
         pn = jnp.linalg.norm(p_new)
-        p_new = jnp.where(pn < 1e-14, jnp.zeros_like(p_new), p_new / jnp.maximum(pn, 1e-300))
-        x_new = x_new / jnp.maximum(jnp.linalg.norm(x_new), 1e-300)
+        p_new = jnp.where(pn < 1e-14, jnp.zeros_like(p_new), p_new / jnp.maximum(pn, TINY))
+        x_new = x_new / jnp.maximum(jnp.linalg.norm(x_new), TINY)
         return (x_new, p_new, lam_new, res, it + 1)
 
     init = (x, p, jnp.asarray(jnp.inf, dtype=x.dtype),
@@ -223,7 +225,7 @@ def _lobpcg_fused(kind, ops, x0, tol, maxiter, alpha):
     # final Rayleigh quotient + residual of the returned vector
     ax = mv(x)
     bx = bmv(x)
-    lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), 1e-300)
+    lam = jnp.vdot(x, ax) / jnp.maximum(jnp.vdot(x, bx), TINY)
     res = jnp.linalg.norm(ax - lam * bx)
     return lam, x, res
 
@@ -275,14 +277,14 @@ def _dense_smallest(kind, ops, alpha):
         raise ValueError(kind)
     M = 0.5 * (M + M.T)
     if B is None:
-        ev, U = jnp.linalg.eigh(M)
+        ev, U = safe_eigh(M)
         return ev[0], U[:, 0]
     B = 0.5 * (B + B.T) + 1e-11 * jnp.eye(B.shape[0], dtype=B.dtype)
     L = jnp.linalg.cholesky(B)
     import jax.scipy.linalg as _jla
     W = _jla.solve_triangular(L, M, lower=True)
     W = _jla.solve_triangular(L, W.T, lower=True)
-    ev, U = jnp.linalg.eigh(0.5 * (W + W.T))
+    ev, U = safe_eigh(0.5 * (W + W.T))
     v = _jla.solve_triangular(L.T, U[:, 0], lower=False)
     return ev[0], v / jnp.linalg.norm(v)
 
@@ -381,10 +383,10 @@ def _step_size_window_solve(
     lam_prev = jnp.vdot(prev_vec, Mp)
     old_res = float(jnp.linalg.norm(Mp - lam_prev * prev_vec))
 
-    sol_vec = sol_vec / jnp.maximum(jnp.linalg.norm(sol_vec), 1e-300)
+    sol_vec = sol_vec / jnp.maximum(jnp.linalg.norm(sol_vec), TINY)
     mat = sol_vec.reshape(int(np.prod(shape[:2])), int(np.prod(shape[2:])))
     if bwd:
-        u, s, v_t = jnp.linalg.svd(mat.T, full_matrices=False)
+        u, s, v_t = safe_svd(mat.T, full_matrices=False)
         v = s[:, None] * v_t
         r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
         s1, s2, r = add_kick_rank_rev(v[:r].T, u[:, :r].T, 4, rng)
@@ -392,7 +394,7 @@ def _step_size_window_solve(
         sol2_new = s2.reshape(r, shape[2], shape[3])
         sol1_new = s1.reshape(shape[0], shape[1], r)
     else:
-        u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+        u, s, v_t = safe_svd(mat, full_matrices=False)
         r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
         u1 = u[:, :r]
         v2 = s[:r, None] * v_t[:r]
@@ -491,7 +493,7 @@ def tt_max_generalised_eigen(
             step_size = step_size_n
             sol = jnp.reshape(sol, (rx[k] * N[k], rx[k + 1]))
             if k < d - 1:
-                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                u, s, v_t = safe_svd(sol, full_matrices=False)
                 v = s[:, None] * v_t
                 r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
                 x_cores[k] = u[:, :r].reshape(rx[k], N[k], r)
@@ -515,7 +517,7 @@ def tt_max_generalised_eigen(
             step_size = step_size_n
             sol = jnp.reshape(sol, (rx[k], N[k] * rx[k + 1])).T
             if k > 0:
-                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                u, s, v_t = safe_svd(sol, full_matrices=False)
                 v = s[:, None] * v_t
                 r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
                 x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
@@ -544,7 +546,7 @@ def tt_max_generalised_eigen(
                     break
             else:
                 sol = jnp.reshape(x_cores[k], (rx[k], N[k] * rx[k + 1])).T
-                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                u, s, v_t = safe_svd(sol, full_matrices=False)
                 v = s[:, None] * v_t
                 r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
                 x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
@@ -614,7 +616,7 @@ def _eigen_window_solve(sol1, sol2, XAX_l, A_k, A_k1, XAX_r, trunc_tol, eps,
     old_res = float(jnp.linalg.norm(lam_prev * prev_vec - Ap))
     mat = x.reshape(int(np.prod(shape[:2])), int(np.prod(shape[2:])))
     if bwd:
-        u, s, v_t = jnp.linalg.svd(mat.T, full_matrices=False)
+        u, s, v_t = safe_svd(mat.T, full_matrices=False)
         v = s[:, None] * v_t
         r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
         s1, s2, r = add_kick_rank_rev(v[:r].T, u[:, :r].T, 4, rng)
@@ -622,7 +624,7 @@ def _eigen_window_solve(sol1, sol2, XAX_l, A_k, A_k1, XAX_r, trunc_tol, eps,
         sol2_new = s2.reshape(r, shape[2], shape[3])
         sol1_new = s1.reshape(shape[0], shape[1], r)
     else:
-        u, s, v_t = jnp.linalg.svd(mat, full_matrices=False)
+        u, s, v_t = safe_svd(mat, full_matrices=False)
         r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
         s1, s2, r = add_kick_rank(u[:, :r], s[:r, None] * v_t[:r], 4, rng)
         s1, s2, r = pad_bond_factors(s1, s2, r)
@@ -666,7 +668,7 @@ def tt_min_eig(
             )
             if direction > 0 and k < d - 1:
                 sol = x.reshape(rx[k] * N[k], rx[k + 1])
-                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                u, s, v_t = safe_svd(sol, full_matrices=False)
                 v = s[:, None] * v_t
                 r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
                 x_cores[k] = u[:, :r].reshape(rx[k], N[k], r)
@@ -677,7 +679,7 @@ def tt_min_eig(
                 XAX[k + 1] = compute_phi_fwd_A(XAX[k], x_cores[k], A[k], x_cores[k])
             elif direction < 0 and k > 0:
                 sol = x.reshape(rx[k], N[k] * rx[k + 1]).T
-                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                u, s, v_t = safe_svd(sol, full_matrices=False)
                 v = s[:, None] * v_t
                 r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
                 x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))
@@ -699,7 +701,7 @@ def tt_min_eig(
                 max_res = max(max_res, res)
             else:
                 sol = jnp.reshape(x_cores[k], (rx[k], N[k] * rx[k + 1])).T
-                u, s, v_t = jnp.linalg.svd(sol, full_matrices=False)
+                u, s, v_t = safe_svd(sol, full_matrices=False)
                 v = s[:, None] * v_t
                 r = min(prune_singular_vals(np.asarray(s), trunc_tol), max_rank)
                 x_cores[k] = jnp.reshape(u[:, :r].T, (r, N[k], rx[k + 1]))

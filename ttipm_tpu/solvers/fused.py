@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import TINY, safe_svd
+
 from ttipm_tpu import config
 from ttipm_tpu.ops.linalg import qr_apply, qr_factor, qr_solve
 from ttipm_tpu.solvers.amen import AmenToleranceReached, AmenRestartsExhausted
@@ -240,7 +242,7 @@ def _solve_local(pl, A, pr, bl, b, br, prev, ineq: bool):
     sol = jnp.where(good, cand, prev)
     res_min = jnp.where(good, res_new, res_old)
     dx = jnp.linalg.norm(sol - prev) / jnp.maximum(
-        jnp.linalg.norm(sol), 1e-300
+        jnp.linalg.norm(sol), TINY
     )
     return sol, rhs, res_old, res_min, dx
 
@@ -308,7 +310,7 @@ def _phis_fwd(A, b, x_core, z_core, pl, bl, zl, zbl, ineq: bool):
 
 
 def _trunc_svd(mat, k: int):
-    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, vt = safe_svd(mat, full_matrices=False)
     return u[:, :k], (s[:k, None] * vt[:k])
 
 
@@ -338,7 +340,7 @@ def _bck_split_step(
 
     scales = _column_scales(sol)
     mat = jnp.reshape(scales * sol, (rl * bs, n * rr)).T  # (n*rr, rl*bs)
-    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, vt = safe_svd(mat, full_matrices=False)
     v = s[:, None] * vt
 
     # AMEn enrichment GROWS the basis by up to ``kick`` projected-residual
@@ -421,7 +423,7 @@ def _fwd_split_step(
 
     scales = _column_scales(sol)
     mat = jnp.transpose(scales * sol, (0, 2, 1, 3)).reshape(rl * n, bs * rr)
-    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, vt = safe_svd(mat, full_matrices=False)
     v = s[:, None] * vt
     u3 = u.reshape(rl, n, -1)
 
@@ -718,7 +720,7 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
         ] + [rng.randn(caps[-1] if d > 1 else 1, 4, 1)]
         cores = [rng.randn(1, bs, 4, caps[0] if d > 1 else 1)] + tail
     nrm = np.sqrt(sum(float(np.sum(c**2)) for c in cores))
-    cores = [c / max(nrm, 1e-300) ** (1.0 / d) for c in cores]
+    cores = [c / max(nrm, TINY) ** (1.0 / d) for c in cores]
     return [jnp.asarray(np.asarray(c, dtype=np.float64)) for c in cores]
 
 

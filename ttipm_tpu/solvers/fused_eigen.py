@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttipm_tpu.ops.jacobi import TINY, safe_eigh, safe_svd
+
 from ttipm_tpu import config
 from ttipm_tpu.ops.tt import TT, tt_normalise
 
@@ -52,7 +54,7 @@ def _asm1(phi_l, A_k, phi_r):
 
 
 def _smallest_eigpair(M):
-    ev, U = jnp.linalg.eigh(0.5 * (M + M.T))
+    ev, U = safe_eigh(0.5 * (M + M.T))
     return ev[0], U[:, 0]
 
 
@@ -65,7 +67,7 @@ def _shrink_alpha(MA, MD, alpha, tol):
     )
     W = jax.scipy.linalg.solve_triangular(L, 0.5 * (MD + MD.T), lower=True)
     W = jax.scipy.linalg.solve_triangular(L, W.T, lower=True)
-    evg, _ = jnp.linalg.eigh(0.5 * (W + W.T))
+    evg, _ = safe_eigh(0.5 * (W + W.T))
     lam_max = -evg[0]
     ok = jnp.isfinite(lam_max) & (lam_max > 0)
     return jnp.where(
@@ -105,7 +107,7 @@ def _split_bck(x, shape, r_out: int):
     """x: window vector; split keeping the right core orthonormal."""
     rl, n1, n2, rr = shape
     mat = x.reshape(rl * n1, n2 * rr).T
-    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, vt = safe_svd(mat, full_matrices=False)
     sol2 = u[:, :r_out].T.reshape(r_out, n2, rr)
     sol1 = (s[:r_out, None] * vt[:r_out]).T.reshape(rl, n1, r_out)
     return sol1, sol2
@@ -114,7 +116,7 @@ def _split_bck(x, shape, r_out: int):
 def _split_fwd(x, shape, r_out: int):
     rl, n1, n2, rr = shape
     mat = x.reshape(rl * n1, n2 * rr)
-    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, vt = safe_svd(mat, full_matrices=False)
     sol1 = u[:, :r_out].reshape(rl, n1, r_out)
     sol2 = (s[:r_out, None] * vt[:r_out]).reshape(r_out, n2, rr)
     return sol1, sol2
@@ -134,7 +136,7 @@ def _gen_window_step(
     MA = _asm2(pAl, A_k, A_k1, pAr)
     MD = _asm2(pDl, D_k, D_k1, pDr)
     x, alpha_new, old_res = _pencil_solve(MA, MD, prev.reshape(-1), alpha, tol)
-    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-300)
+    x = x / jnp.maximum(jnp.linalg.norm(x), TINY)
     if bwd:
         sol1_new, sol2_new = _split_bck(x, shape, r_out)
         pA_upd = _phi_bck(pAr, sol2_new, A_k1, sol2_new)
@@ -157,13 +159,13 @@ def _gen_last_step(
     MA = _asm1(pAl, A_k, pAr)
     MD = _asm1(pDl, D_k, pDr)
     x, alpha_new, old_res = _pencil_solve(MA, MD, prev.reshape(-1), alpha, tol)
-    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-300)
+    x = x / jnp.maximum(jnp.linalg.norm(x), TINY)
     if not split:
         return x.reshape(shape), neighbor, alpha_new, old_res, pAl, pDl
     rl, n, rr = shape
     if bwd:
         mat = x.reshape(rl, n * rr).T
-        u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+        u, s, vt = safe_svd(mat, full_matrices=False)
         core = u[:, :r_out].T.reshape(r_out, n, rr)
         v = (s[:r_out, None] * vt[:r_out]).T  # (rl, r_out)
         nb_new = jnp.einsum("rdc,cR->rdR", neighbor, v)
@@ -171,7 +173,7 @@ def _gen_last_step(
         pD_upd = _phi_bck(pDr, core, D_k, core)
     else:
         mat = x.reshape(rl * n, rr)
-        u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+        u, s, vt = safe_svd(mat, full_matrices=False)
         core = u[:, :r_out].reshape(rl, n, r_out)
         v = s[:r_out, None] * vt[:r_out]  # (r_out, rr)
         nb_new = jnp.einsum("ij,jkl->ikl", v, neighbor)
@@ -186,7 +188,7 @@ def _orth_bck_step(x_km1, x_k, ops_k, phis_r, r_out: int, n_ops: int):
     update the interfaces of ``n_ops`` operators at once."""
     rl, n, rr = x_k.shape
     mat = x_k.reshape(rl, n * rr).T
-    u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, vt = safe_svd(mat, full_matrices=False)
     core = u[:, :r_out].T.reshape(r_out, n, rr)
     v = (s[:r_out, None] * vt[:r_out]).T
     x_km1_new = jnp.einsum("rdc,cR->rdR", x_km1, v)
@@ -210,7 +212,7 @@ def _min_window_step(pl, A_k, A_k1, pr, sol1, sol2, r_out: int, bwd: bool):
     Mp = M @ prev_vec
     lam_prev = jnp.vdot(prev_vec, Mp)
     old_res = jnp.linalg.norm(lam_prev * prev_vec - Mp)
-    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-300)
+    x = x / jnp.maximum(jnp.linalg.norm(x), TINY)
     if bwd:
         sol1_new, sol2_new = _split_bck(x, shape, r_out)
         p_upd = _phi_bck(pr, sol2_new, A_k1, sol2_new)
@@ -226,20 +228,20 @@ def _min_last_step(pl, A_k, pr, neighbor, prev, r_out: int, bwd: bool,
     shape = prev.shape
     M = _asm1(pl, A_k, pr)
     lam, x = _smallest_eigpair(M)
-    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-300)
+    x = x / jnp.maximum(jnp.linalg.norm(x), TINY)
     if not split:
         return x.reshape(shape), neighbor, pl
     rl, n, rr = shape
     if bwd:
         mat = x.reshape(rl, n * rr).T
-        u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+        u, s, vt = safe_svd(mat, full_matrices=False)
         core = u[:, :r_out].T.reshape(r_out, n, rr)
         v = (s[:r_out, None] * vt[:r_out]).T
         nb_new = jnp.einsum("rdc,cR->rdR", neighbor, v)
         p_upd = _phi_bck(pr, core, A_k, core)
     else:
         mat = x.reshape(rl * n, rr)
-        u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+        u, s, vt = safe_svd(mat, full_matrices=False)
         core = u[:, :r_out].reshape(rl, n, r_out)
         v = s[:r_out, None] * vt[:r_out]
         nb_new = jnp.einsum("ij,jkl->ikl", v, neighbor)
