@@ -488,6 +488,97 @@ def _fwd_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
 
 
 # ---------------------------------------------------------------------------
+# Whole-sweep program: ONE jitted XLA program per (direction, solve,
+# shape-signature) instead of one dispatch per core step.  The remote-TPU
+# path is dispatch-bound (~0.4ms/dispatch over the tunnel, BASELINE.md),
+# and the per-step granularity also multiplied the program census; the
+# inner @jit-ed step functions inline here at trace time.  Host round
+# trips per sweep: exactly one (the res/dx reduction scalars).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ineq", "caps", "kick", "solve",
+                                   "direction"))
+def _sweep_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb,
+                   ineq: bool, caps: tuple, kick: int, solve: bool,
+                   direction: int):
+    x_cores = list(x_cores)
+    z_cores = list(z_cores)
+    XAX = list(XAX)
+    Xb = list(Xb)
+    ZAX = list(ZAX)
+    Zb = list(Zb)
+    d = len(x_cores)
+    bs = _nrows(ineq)
+    res_vals = []
+    dx_vals = []
+    if direction > 0:  # backward sweep
+        for k in range(d - 1, -1, -1):
+            A_k = {key: A[key][k] for key in _keys(ineq)}
+            b_k = [b[i][k] for i in range(bs)]
+            if k > 0:
+                (u_core, x_prev, z_core, z_prev, pl_new, bl_new, zl_new,
+                 zbl_new, r_old, r_min, dx) = _bck_split_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], x_cores[k - 1], z_cores[k], z_cores[k - 1],
+                    ineq=ineq, r_out=caps[k - 1], kick=kick, solve=solve,
+                )
+                x_cores[k] = u_core
+                x_cores[k - 1] = x_prev
+                z_cores[k] = z_core
+                z_cores[k - 1] = z_prev
+                XAX[k] = pl_new
+                Xb[k] = bl_new
+                ZAX[k] = zl_new
+                Zb[k] = zbl_new
+            else:
+                x_new, z_new, r_old, r_min, dx = _bck_write_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], z_cores[k], ineq=ineq, solve=solve,
+                )
+                x_cores[k] = x_new
+                z_cores[k] = z_new
+            res_vals.append(r_old)
+            dx_vals.append(dx)
+    else:  # forward sweep
+        for k in range(d):
+            A_k = {key: A[key][k] for key in _keys(ineq)}
+            b_k = [b[i][k] for i in range(bs)]
+            if k < d - 1:
+                (u_core, x_next, z_core, z_next, pr_new, br_new, zr_new,
+                 zbr_new, r_old, r_min, dx) = _fwd_split_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], x_cores[k + 1], z_cores[k], z_cores[k + 1],
+                    ineq=ineq, r_out=caps[k], kick=kick, solve=solve,
+                )
+                x_cores[k] = u_core
+                x_cores[k + 1] = x_next
+                z_cores[k] = z_core
+                z_cores[k + 1] = z_next
+                XAX[k + 1] = pr_new
+                Xb[k + 1] = br_new
+                ZAX[k + 1] = zr_new
+                Zb[k + 1] = zbr_new
+            else:
+                x_new, z_new, r_old, r_min, dx = _fwd_write_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], z_cores[k], ineq=ineq, solve=solve,
+                )
+                x_cores[k] = x_new
+                z_cores[k] = z_new
+            res_vals.append(r_old)
+            dx_vals.append(dx)
+    res = jnp.max(jnp.stack(res_vals))
+    dxm = jnp.max(jnp.stack(dx_vals))
+    return (tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
+            tuple(ZAX), tuple(Zb), res, dxm)
+
+
+# ---------------------------------------------------------------------------
 # Global residual ||b - Ax|| by direct multi-train contraction (no TT
 # arithmetic, no rounding): ||b-Ax||^2 = sum_i [ <b_i,b_i>
 #   - 2 sum_t <b_i, t> + sum_{t,t'} <t,t'> ] over the row terms t = A_ij x_j.
@@ -799,78 +890,25 @@ def tt_block_amen_fused(
     swp = 0
     for swp in range(nswp + 1):
         solve = (swp > 0) and not last
-        res_vals = []
-        dx_vals = []
-        if direction > 0:  # backward sweep
-            for k in range(d - 1, -1, -1):
-                A_k = {key: A[key][k] for key in _keys(ineq)}
-                b_k = [b[i][k] for i in range(bs)]
-                if k > 0:
-                    (u_core, x_prev, z_core, z_prev, pl_new, bl_new, zl_new,
-                     zbl_new, r_old, r_min, dx) = _bck_split_step(
-                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
-                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
-                        x_cores[k], x_cores[k - 1], z_cores[k], z_cores[k - 1],
-                        ineq=ineq, r_out=caps_bck[k - 1], kick=kick_rank,
-                        solve=solve,
-                    )
-                    x_cores[k] = u_core
-                    x_cores[k - 1] = x_prev
-                    z_cores[k] = z_core
-                    z_cores[k - 1] = z_prev
-                    XAX[k] = pl_new
-                    Xb[k] = bl_new
-                    ZAX[k] = zl_new
-                    Zb[k] = zbl_new
-                else:
-                    x_new, z_new, r_old, r_min, dx = _bck_write_step(
-                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
-                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
-                        x_cores[k], z_cores[k], ineq=ineq, solve=solve,
-                    )
-                    x_cores[k] = x_new
-                    z_cores[k] = z_new
-                if solve:
-                    res_vals.append(r_old)
-                    dx_vals.append(dx)
-        else:  # forward sweep
-            for k in range(d):
-                A_k = {key: A[key][k] for key in _keys(ineq)}
-                b_k = [b[i][k] for i in range(bs)]
-                if k < d - 1:
-                    (u_core, x_next, z_core, z_next, pr_new, br_new, zr_new,
-                     zbr_new, r_old, r_min, dx) = _fwd_split_step(
-                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
-                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
-                        x_cores[k], x_cores[k + 1], z_cores[k], z_cores[k + 1],
-                        ineq=ineq, r_out=caps_fwd[k], kick=kick_rank,
-                        solve=solve,
-                    )
-                    x_cores[k] = u_core
-                    x_cores[k + 1] = x_next
-                    z_cores[k] = z_core
-                    z_cores[k + 1] = z_next
-                    XAX[k + 1] = pr_new
-                    Xb[k + 1] = br_new
-                    ZAX[k + 1] = zr_new
-                    Zb[k + 1] = zbr_new
-                else:
-                    x_new, z_new, r_old, r_min, dx = _fwd_write_step(
-                        XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
-                        ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
-                        x_cores[k], z_cores[k], ineq=ineq, solve=solve,
-                    )
-                    x_cores[k] = x_new
-                    z_cores[k] = z_new
-                if solve:
-                    res_vals.append(r_old)
-                    dx_vals.append(dx)
+        caps = tuple(caps_bck if direction > 0 else caps_fwd)
+        (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _sweep_program(
+            A, b, tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
+            tuple(ZAX), tuple(Zb),
+            ineq=ineq, caps=caps, kick=kick_rank, solve=solve,
+            direction=direction,
+        )
+        x_cores = list(x_cores)
+        z_cores = list(z_cores)
+        XAX = list(XAX)
+        Xb = list(Xb)
+        ZAX = list(ZAX)
+        Zb = list(Zb)
 
         if last:
             break
         if solve:
-            local_res = float(jnp.max(jnp.stack(res_vals)))
-            local_dx = float(jnp.max(jnp.stack(dx_vals)))
+            local_res = float(res_d)
+            local_dx = float(dx_d)
         else:
             local_res = np.inf
             local_dx = np.inf
