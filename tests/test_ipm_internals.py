@@ -9,7 +9,7 @@ from ttipm_tpu.ipm import (
     IPMStatus,
     IneqStatus,
     _tt_build_row_scaled_kkt,
-    _tt_kkt_row_scales,
+    _kkt_equilibration,
     tt_compute_centrality,
     tt_compute_dual_feasibility,
     tt_compute_primal_feasibility,
@@ -148,7 +148,7 @@ def test_row_scaling_preserves_solution():
     rhs[0] = r0
     rhs[2] = r2
 
-    scales = _tt_kkt_row_scales(rhs, status)
+    scales = _kkt_equilibration(rhs, status)
     assert 0 in scales and 2 in scales
     # centrality scale never exceeds the feasibility scale
     assert scales[2] <= scales[0] + 1e-12

@@ -301,192 +301,210 @@ def tt_infeasible_newton_system(
 
 
 # ---------------------------------------------------------------------------
-# KKT row equilibration (src/tt_ipm.py:502-568)
+# KKT row equilibration.  Functional contract as the reference
+# (src/tt_ipm.py:502-568): balance the feasibility rows (0, 1) against the
+# centrality rows (2, 3) by their rhs norms, clipped into [1e-6, 1e6], with
+# a geometric-mean compromise for operator blocks whose transpose/alias
+# mirror lives in a differently-scaled row.
 # ---------------------------------------------------------------------------
 
-def _tt_rhs_row_norm(rhs_vec_tt, row):
-    r = rhs_vec_tt.get_row(row)
-    if r is None:
-        return 0.0
-    n = tt_norm(r)
-    return float(n) if np.isfinite(n) else 0.0
+_SCALE_FLOOR = 1e-6
+_SCALE_CEIL = 1e6
+_FEAS_ROWS = (0, 1)
+_CENT_ROWS = (2, 3)
 
 
-def _tt_kkt_row_scales(rhs_vec_tt, status) -> Dict[int, float]:
-    eps = max(status.op_tol, 1e-12)
-    feas_norm = max(_tt_rhs_row_norm(rhs_vec_tt, 0), _tt_rhs_row_norm(rhs_vec_tt, 1))
-    cent_norm = max(_tt_rhs_row_norm(rhs_vec_tt, 2), _tt_rhs_row_norm(rhs_vec_tt, 3))
+def _rhs_group_norm(rhs_vec_tt, rows) -> float:
+    worst = 0.0
+    for r in rows:
+        row_tt = rhs_vec_tt.get_row(r)
+        if row_tt is None:
+            continue
+        n = float(tt_norm(row_tt))
+        if np.isfinite(n):
+            worst = max(worst, n)
+    return worst
+
+
+def _kkt_equilibration(rhs_vec_tt, status) -> Dict[int, float]:
+    """Row -> multiplicative scale, empty when no row needs balancing."""
+    tol = max(status.op_tol, 1e-12)
     scales: Dict[int, float] = {}
-    if feas_norm > eps:
-        s = float(np.clip(1.0 / max(feas_norm, eps), 1e-6, 1e6))
-        scales[0] = s
-        scales[1] = s
-    if cent_norm > eps:
-        s = float(np.clip(1.0 / max(cent_norm, eps), 1e-6, 1e6))
+    feas = _rhs_group_norm(rhs_vec_tt, _FEAS_ROWS)
+    if feas > tol:
+        s_feas = min(max(1.0 / feas, _SCALE_FLOOR), _SCALE_CEIL)
+        scales.update(dict.fromkeys(_FEAS_ROWS, s_feas))
+    cent = _rhs_group_norm(rhs_vec_tt, _CENT_ROWS)
+    if cent > tol:
+        s_cent = min(max(1.0 / cent, _SCALE_FLOOR), _SCALE_CEIL)
         if 0 in scales:
-            s = min(s, scales[0])  # feasibility stays at least as important
-        scales[2] = s
-        scales[3] = s
+            # never let centrality outweigh feasibility
+            s_cent = min(s_cent, scales[0])
+        scales.update(dict.fromkeys(_CENT_ROWS, s_cent))
     return scales
 
 
-def _tt_effective_row_scale(lhs, key, row_scales):
-    scale = row_scales.get(key[0], 1.0)
-    if key in lhs._transposes:
-        coupled, _ = lhs._transposes[key]
-        if coupled in row_scales:
-            scale = np.sqrt(scale * row_scales[coupled])
-    if key in lhs._aliases:
-        coupled, _ = lhs._aliases[key]
-        if coupled in row_scales:
-            scale = np.sqrt(scale * row_scales[coupled])
-    return float(scale)
+def _coupled_block_scale(lhs, key, scales) -> float:
+    """Scale for a stored block: its own row's scale, geometrically merged
+    with the row scale of every mirror (transpose/alias) it also serves."""
+    s = scales.get(key[0], 1.0)
+    for coupling in (lhs._transposes, lhs._aliases):
+        mirror = coupling.get(key)
+        if mirror is not None and mirror[0] in scales:
+            s = float(np.sqrt(s * scales[mirror[0]]))
+    return s
+
+
+def _apply_equilibration(lhs, rhs, scales):
+    if not scales:
+        return lhs, rhs
+    lhs_eq = TTBlockMatrix()
+    lhs_eq._aliases = dict(lhs._aliases)
+    lhs_eq._transposes = dict(lhs._transposes)
+    for key, block in lhs._data.items():
+        s = _coupled_block_scale(lhs, key, scales)
+        lhs_eq[key] = block if np.isclose(s, 1.0) else tt_scale(s, block)
+    rhs_eq = TTBlockVector()
+    for row in rhs.keys():
+        s = scales.get(row, 1.0)
+        row_tt = rhs.get_row(row)
+        rhs_eq[row] = row_tt if np.isclose(s, 1.0) else tt_scale(s, row_tt)
+    return lhs_eq, rhs_eq
 
 
 def _tt_build_row_scaled_kkt(lhs, rhs, status, row_scales=None):
     if row_scales is None:
-        row_scales = _tt_kkt_row_scales(rhs, status)
-    if not row_scales:
-        return lhs, rhs
-    lhs_scaled = TTBlockMatrix()
-    lhs_scaled._aliases = dict(lhs._aliases)
-    lhs_scaled._transposes = dict(lhs._transposes)
-    for key, block in lhs._data.items():
-        s = _tt_effective_row_scale(lhs, key, row_scales)
-        lhs_scaled[key] = block if np.isclose(s, 1.0) else tt_scale(s, block)
-    rhs_scaled = TTBlockVector()
-    for row in rhs.keys():
-        s = row_scales.get(row, 1.0)
-        row_tt = rhs.get_row(row)
-        rhs_scaled[row] = row_tt if np.isclose(s, 1.0) else tt_scale(s, row_tt)
-    return lhs_scaled, rhs_scaled
+        row_scales = _kkt_equilibration(rhs, status)
+    return _apply_equilibration(lhs, rhs, row_scales)
 
 
 # ---------------------------------------------------------------------------
-# Newton step (predictor + Mehrotra centering-corrector)
+# Newton step (predictor + Mehrotra centering-corrector).  Algorithmic
+# contract per src/tt_ipm.py:571-697; decomposed here into one direction
+# extractor, a shared bilinear duality-gap expansion, and a composable
+# rhs-augmentation helper (each solve is a call into the jitted fused
+# sweep programs of solvers/fused.py).
 # ---------------------------------------------------------------------------
+
+
+def _solve_kkt(solver, lhs, rhs, status):
+    Delta_tt, _ = solver(
+        lhs, rhs, status.mals_delta0,
+        status.kkt_iterations + status.is_last_iter,
+        status.mals_rank_restriction, status.eta,
+    )
+    status.mals_delta0 = Delta_tt
+    return Delta_tt
+
+
+def _extract_directions(Delta_tt, ineq_mask, status):
+    """Block order (0=dY, 1=dX, 2=dZ, 3=dT); dX/dZ symmetrised, dT masked."""
+    dY = tt_rank_reduce(tt_get_block(0, Delta_tt), eps=status.eps)
+    dX = _tt_symmetrise(tt_reshape(tt_get_block(1, Delta_tt), (2, 2)), status.eps)
+    dZ = _tt_symmetrise(tt_reshape(tt_get_block(2, Delta_tt), (2, 2)), status.eps)
+    dT = None
+    if status.ineq_status is IneqStatus.ACTIVE:
+        raw = tt_rank_reduce(tt_get_block(3, Delta_tt), eps=status.eps)
+        dT = tt_fast_hadamard(ineq_mask, tt_reshape(raw, (2, 2)), status.eps)
+    return dY, dX, dZ, dT
+
+
+def _accumulate_directions(base, extra, status):
+    """Predictor + corrector direction sums (rounded per component)."""
+    out = []
+    for b, e in zip(base, extra):
+        if b is None or e is None:
+            out.append(b)
+        else:
+            out.append(tt_rank_reduce(tt_add(b, e), eps=status.eps))
+    return tuple(out)
+
+
+def _affine_gap_estimate(gap0, A_tt, dA, B_tt, dB, a, b):
+    """<A + a dA, B + b dB> given gap0 = <A, B> (bilinear expansion)."""
+    return (
+        gap0
+        + a * b * tt_inner_prod(dA, dB)
+        + b * tt_inner_prod(A_tt, dB)
+        + a * tt_inner_prod(dA, B_tt)
+    )
+
+
+def _mehrotra_sigma(mu_aff, gap, a, b):
+    """sigma = clip((mu_aff / gap)^e), e = max(1, 3 min(a, b)^2)."""
+    e = max(1, 3 * min(a, b) ** 2)
+    return min(0.99, max(mu_aff / gap, 0) ** e)
+
+
+def _rhs_augment(rhs_vec_tt, row, terms, budget):
+    acc = rhs_vec_tt.get_row(row)
+    for t in terms:
+        acc = tt_add(acc, t)
+    rhs_vec_tt[row] = tt_rank_reduce(acc, budget)
+
+
+def _corrector_rhs(rhs_vec_tt, dX, dZ, DXZ, ineq_mask, status, dim):
+    """Fold sigma*mu*I centering and the -dX dZ second-order term into the
+    centrality row; mirror the centering onto the inequality row."""
+    budget = 0.1 * status.eta * status.centrl_error_normalisation
+    centering = status.sigma > 1e-4
+    terms = []
+    if centering:
+        terms.append(
+            tt_scale(status.sigma * status.mu, tt_reshape(tt_identity(dim), (4,)))
+        )
+    if DXZ > 0.1 * status.centrality_tol:
+        terms.append(tt_compute_centrality(dX, dZ, status))
+    if terms:
+        _rhs_augment(rhs_vec_tt, 2, terms, budget)
+    if centering and status.ineq_status is IneqStatus.ACTIVE:
+        _rhs_augment(
+            rhs_vec_tt, 3,
+            [tt_scale(status.sigma * status.mu, tt_reshape(ineq_mask, (4,)))],
+            budget,
+        )
+
 
 def _tt_ipm_newton_step(
     lhs_matrix_tt, rhs_vec_tt, ineq_mask, X_tt, Z_tt, T_tt, ZX, TX, status, solver,
 ):
-    """src/tt_ipm.py:571-697."""
+    """Predictor solve -> step sizes -> Mehrotra sigma -> corrector solve.
+    Contract of src/tt_ipm.py:571-697."""
     try:
-        row_scales = _tt_kkt_row_scales(rhs_vec_tt, status)
-        lhs_p, rhs_p = _tt_build_row_scaled_kkt(lhs_matrix_tt, rhs_vec_tt, status, row_scales)
-        Delta_tt, _ = solver(
-            lhs_p, rhs_p, status.mals_delta0,
-            status.kkt_iterations + status.is_last_iter,
-            status.mals_rank_restriction, status.eta,
-        )
-        status.mals_delta0 = Delta_tt
-        Delta_X_tt = _tt_symmetrise(tt_reshape(tt_get_block(1, Delta_tt), (2, 2)), status.eps)
-        Delta_Z_tt = _tt_symmetrise(tt_reshape(tt_get_block(2, Delta_tt), (2, 2)), status.eps)
-        Delta_Y_tt = tt_rank_reduce(tt_get_block(0, Delta_tt), eps=status.eps)
-        Delta_T_tt = None
-        if status.ineq_status is IneqStatus.ACTIVE:
-            Delta_T_tt = tt_rank_reduce(tt_get_block(3, Delta_tt), eps=status.eps)
-            Delta_T_tt = tt_fast_hadamard(
-                ineq_mask, tt_reshape(Delta_T_tt, (2, 2)), status.eps
-            )
+        row_scales = _kkt_equilibration(rhs_vec_tt, status)
+        lhs_p, rhs_p = _apply_equilibration(lhs_matrix_tt, rhs_vec_tt, row_scales)
+        delta = _solve_kkt(solver, lhs_p, rhs_p, status)
+        dY, dX, dZ, dT = _extract_directions(delta, ineq_mask, status)
 
         x_step, z_step = _tt_get_step_sizes(
-            X_tt, Z_tt, T_tt, Delta_X_tt, Delta_Z_tt, Delta_T_tt, ineq_mask, status
+            X_tt, Z_tt, T_tt, dX, dZ, dT, ineq_mask, status
         )
 
-        if not status.is_central and not status.is_last_iter:
-            DXZ = tt_inner_prod(Delta_X_tt, Delta_Z_tt)
-            if status.ineq_status is IneqStatus.ACTIVE:
-                mu_aff = (
-                    ZX + x_step * z_step * DXZ
-                    + z_step * tt_inner_prod(X_tt, Delta_Z_tt)
-                    + x_step * tt_inner_prod(Delta_X_tt, Z_tt)
-                    + TX + x_step * z_step * tt_inner_prod(Delta_T_tt, Delta_X_tt)
-                    + z_step * (
-                        tt_inner_prod(X_tt, Delta_T_tt)
-                        + status.ineq_boundary_val * tt_entrywise_sum(Delta_T_tt)
-                    )
-                    + x_step * tt_inner_prod(Delta_X_tt, T_tt)
-                )
-                e = max(1, 3 * min(x_step, z_step) ** 2)
-                status.sigma = min(0.99, max(mu_aff / (ZX + TX), 0) ** e)
-                if status.sigma > 1e-4:
-                    rhs_vec_tt[3] = tt_rank_reduce(
-                        tt_add(
-                            tt_scale(status.sigma * status.mu, tt_reshape(ineq_mask, (4,))),
-                            rhs_vec_tt.get_row(3),
-                        ),
-                        0.1 * status.eta * status.centrl_error_normalisation,
-                    )
-            else:
-                mu_aff = (
-                    ZX + x_step * z_step * DXZ
-                    + z_step * tt_inner_prod(X_tt, Delta_Z_tt)
-                    + x_step * tt_inner_prod(Delta_X_tt, Z_tt)
-                )
-                e = max(1, 3 * min(x_step, z_step) ** 2)
-                status.sigma = min(0.99, max(mu_aff / ZX, 0) ** e)
-
-            cent_budget = 0.1 * status.eta * status.centrl_error_normalisation
-            if DXZ > 0.1 * status.centrality_tol:
-                Delta_XZ_term = tt_compute_centrality(Delta_X_tt, Delta_Z_tt, status)
-                if status.sigma > 1e-4:
-                    rhs_vec_tt[2] = tt_rank_reduce(
-                        tt_add(
-                            tt_scale(
-                                status.sigma * status.mu,
-                                tt_reshape(tt_identity(len(X_tt)), (4,)),
-                            ),
-                            tt_add(rhs_vec_tt.get_row(2), Delta_XZ_term),
-                        ),
-                        cent_budget,
-                    )
-                else:
-                    rhs_vec_tt[2] = tt_rank_reduce(
-                        tt_add(rhs_vec_tt.get_row(2), Delta_XZ_term), cent_budget
-                    )
-            elif status.sigma > 1e-4:
-                rhs_vec_tt[2] = tt_rank_reduce(
-                    tt_add(
-                        tt_scale(
-                            status.sigma * status.mu,
-                            tt_reshape(tt_identity(len(X_tt)), (4,)),
-                        ),
-                        rhs_vec_tt.get_row(2),
-                    ),
-                    cent_budget,
-                )
-
-            lhs_cc, rhs_cc = _tt_build_row_scaled_kkt(
-                lhs_matrix_tt, rhs_vec_tt, status, row_scales
-            )
-            Delta_tt_cc, _ = solver(
-                lhs_cc, rhs_cc, status.mals_delta0,
-                status.kkt_iterations + status.is_last_iter,
-                status.mals_rank_restriction, status.eta,
-            )
-            status.mals_delta0 = Delta_tt_cc
-            Delta_X_cc = _tt_symmetrise(
-                tt_reshape(tt_get_block(1, Delta_tt_cc), (2, 2)), status.eps
-            )
-            Delta_Z_cc = _tt_symmetrise(
-                tt_reshape(tt_get_block(2, Delta_tt_cc), (2, 2)), status.eps
-            )
-            Delta_Y_cc = tt_rank_reduce(tt_get_block(0, Delta_tt_cc), eps=status.eps)
-            Delta_X_tt = tt_rank_reduce(tt_add(Delta_X_cc, Delta_X_tt), eps=status.eps)
-            Delta_Y_tt = tt_rank_reduce(tt_add(Delta_Y_cc, Delta_Y_tt), eps=status.eps)
-            Delta_Z_tt = tt_rank_reduce(tt_add(Delta_Z_cc, Delta_Z_tt), eps=status.eps)
-            if status.ineq_status is IneqStatus.ACTIVE:
-                Delta_T_cc = tt_rank_reduce(tt_get_block(3, Delta_tt_cc), eps=status.eps)
-                Delta_T_cc = tt_fast_hadamard(
-                    ineq_mask, tt_reshape(Delta_T_cc, (2, 2)), status.eps
-                )
-                Delta_T_tt = tt_rank_reduce(tt_add(Delta_T_cc, Delta_T_tt), eps=status.eps)
-
-            x_step, z_step = _tt_get_step_sizes(
-                X_tt, Z_tt, T_tt, Delta_X_tt, Delta_Z_tt, Delta_T_tt, ineq_mask, status
-            )
-        else:
+        if status.is_central or status.is_last_iter:
             status.sigma = 0
+            return x_step, z_step, dX, dY, dZ, dT, status
+
+        # Mehrotra centering parameter from the affine trial point
+        DXZ = tt_inner_prod(dX, dZ)
+        mu_aff = _affine_gap_estimate(ZX, X_tt, dX, Z_tt, dZ, x_step, z_step)
+        gap = ZX
+        if status.ineq_status is IneqStatus.ACTIVE:
+            mu_aff += _affine_gap_estimate(TX, X_tt, dX, T_tt, dT, x_step, z_step)
+            # the barrier shift beta contributes through sum(dT) on the mask
+            mu_aff += z_step * status.ineq_boundary_val * tt_entrywise_sum(dT)
+            gap = ZX + TX
+        status.sigma = _mehrotra_sigma(mu_aff, gap, x_step, z_step)
+
+        _corrector_rhs(rhs_vec_tt, dX, dZ, DXZ, ineq_mask, status, len(X_tt))
+
+        lhs_c, rhs_c = _apply_equilibration(lhs_matrix_tt, rhs_vec_tt, row_scales)
+        delta_c = _solve_kkt(solver, lhs_c, rhs_c, status)
+        corr = _extract_directions(delta_c, ineq_mask, status)
+        dY, dX, dZ, dT = _accumulate_directions((dY, dX, dZ, dT), corr, status)
+
+        x_step, z_step = _tt_get_step_sizes(
+            X_tt, Z_tt, T_tt, dX, dZ, dT, ineq_mask, status
+        )
     except Exception as e:
         # Total-function recovery (parity :691-695): AmenToleranceReached,
         # AmenRestartsExhausted and numerical failures all route the outer
@@ -495,19 +513,28 @@ def _tt_ipm_newton_step(
         traceback.print_exc(file=sys.stdout)
         return 0, 0, None, None, None, None, status
 
-    return x_step, z_step, Delta_X_tt, Delta_Y_tt, Delta_Z_tt, Delta_T_tt, status
+    return x_step, z_step, dX, dY, dZ, dT, status
 
 
 # ---------------------------------------------------------------------------
-# Step sizes (src/tt_ipm.py:700-779)
+# Step sizes (contract of src/tt_ipm.py:700-779): largest alpha keeping
+# X + alpha dX (and Z, and the masked entries) in the cone, then the
+# fraction-to-boundary backoff tau = 0.9 + 0.05 min(alpha).
 # ---------------------------------------------------------------------------
+
+
+def _regularised(A_tt, shift, dim):
+    return tt_add(A_tt, tt_scale(shift, tt_identity(dim)))
+
 
 def _tt_get_step_sizes(
     X_tt, Z_tt, T_tt, Delta_X_tt, Delta_Z_tt, Delta_T_tt, ineq_mask, status
 ):
+    dim = len(X_tt)
     if status.is_last_iter:
-        X_tt = tt_add(X_tt, tt_scale(status.boundary_val, tt_identity(len(X_tt))))
-        Z_tt = tt_add(Z_tt, tt_scale(status.boundary_val, tt_identity(len(Z_tt))))
+        # the refinement phase line-searches against a pushed-out boundary
+        X_tt = _regularised(X_tt, status.boundary_val, dim)
+        Z_tt = _regularised(Z_tt, status.boundary_val, dim)
 
     x_step, status.eigen_x0 = tt_max_generalised_eigen(
         X_tt, Delta_X_tt, x0=status.eigen_x0, tol=1e-8, verbose=status.verbose
@@ -515,19 +542,16 @@ def _tt_get_step_sizes(
     z_step, status.eigen_z0 = tt_max_generalised_eigen(
         Z_tt, Delta_Z_tt, x0=status.eigen_z0, tol=1e-8, verbose=status.verbose
     )
+
     if status.ineq_status is not IneqStatus.NOT_IN_USE:
         if status.is_last_iter:
-            X_tt = tt_add(
-                X_tt,
-                tt_scale(status.ineq_boundary_val + status.boundary_val, ineq_mask),
-            )
-            T_tt = tt_add(
-                T_tt,
-                tt_scale(status.ineq_boundary_val + status.boundary_val, ineq_mask),
-            )
+            shift = status.ineq_boundary_val + status.boundary_val
+            X_tt = tt_add(X_tt, tt_scale(shift, ineq_mask))
+            T_tt = tt_add(T_tt, tt_scale(shift, ineq_mask))
         x_step, z_step = _tt_get_ineq_step_sizes(
             x_step, z_step, X_tt, T_tt, Delta_X_tt, Delta_T_tt, ineq_mask, status
         )
+
     tau = 0.9 + 0.05 * min(x_step, z_step)
     if status.verbose:
         print(f"Step sizes: a_p:{x_step:.2e}, a_d:{z_step:.2e}", flush=True)
@@ -535,30 +559,30 @@ def _tt_get_step_sizes(
 
 
 def _ineq_step_size(A_tt, Delta_tt, e_tt, status):
-    """Largest step keeping the masked entries above the barrier, found by
-    a min-eig sweep over Diag(A + Delta) with an eigvector localisation
-    trick (src/tt_ipm.py:730-747)."""
-    sum_tt = tt_add(A_tt, Delta_tt)
+    """Largest alpha with (A + alpha Delta) >= 0 entrywise on the mask.
+    Runs one min-eig sweep over Diag(A + Delta); when the minimising
+    eigenvector localises on a genuine (on-mask) entry, the entry values
+    of A and Delta there give the exact boundary ratio
+    (src/tt_ipm.py:730-747)."""
+    trial = tt_add(A_tt, Delta_tt)
     if status.compl_ineq_mask:
-        sum_tt = tt_add(sum_tt, status.compl_ineq_mask)
-    sum_tt = tt_rank_reduce(sum_tt, status.eps)
+        trial = tt_add(trial, status.compl_ineq_mask)
+    trial = tt_rank_reduce(trial, status.eps)
     e_tt, _ = tt_min_eig(
-        tt_diag_op(sum_tt, status.eps), x0=e_tt, tol=1e-8, verbose=status.verbose
+        tt_diag_op(trial, status.eps), x0=e_tt, tol=1e-8, verbose=status.verbose
     )
     e_sq = tt_reshape(e_tt, (2, 2))
-    if abs(tt_inner_prod(sum_tt, e_sq)) > status.eps:
-        from ttipm_tpu.ops.tt import tt_normalise
+    if abs(tt_inner_prod(trial, e_sq)) <= status.eps:
+        # minimiser sits on a padded (off-mask) entry: the step is free
+        return 1.0, e_tt
+    from ttipm_tpu.ops.tt import tt_normalise
 
-        e_sq = tt_normalise(tt_fast_hadamard(e_sq, e_sq, status.eps))
-        min_A_val = abs(tt_inner_prod(A_tt, e_sq))
-        min_Delta_val = tt_inner_prod(Delta_tt, e_sq)
-        if min_Delta_val >= -status.eps:
-            step = 1.0
-        else:
-            step = float(np.clip(-min_A_val / min_Delta_val, 0, 1))
-    else:  # minimum sits on a padded (off-mask) entry
-        step = 1.0
-    return step, e_tt
+    weight = tt_normalise(tt_fast_hadamard(e_sq, e_sq, status.eps))
+    here_A = abs(tt_inner_prod(A_tt, weight))
+    here_D = tt_inner_prod(Delta_tt, weight)
+    if here_D >= -status.eps:
+        return 1.0, e_tt
+    return float(np.clip(-here_A / here_D, 0, 1)), e_tt
 
 
 def _tt_get_ineq_step_sizes(
@@ -574,12 +598,13 @@ def _tt_get_ineq_step_sizes(
             status,
         )
         if not status.is_last_iter:
+            # activation state machine: a full step with a vanished T means
+            # the inequality constraints have gone slack
             if 1 - x_ineq_step < status.op_tol and tt_norm(T_tt) < status.op_tol:
                 if status.ineq_status is IneqStatus.ACTIVE:
                     status.ineq_status = IneqStatus.SETTING_INACTIVE
-            else:
-                if status.ineq_status is IneqStatus.INACTIVE:
-                    status.ineq_status = IneqStatus.SETTING_ACTIVE
+            elif status.ineq_status is IneqStatus.INACTIVE:
+                status.ineq_status = IneqStatus.SETTING_ACTIVE
         x_step *= x_ineq_step
 
     if z_step > 0 and status.ineq_status is IneqStatus.ACTIVE:
