@@ -167,3 +167,56 @@ def test_ipm_smoke_dim2():
     slack, feas, dfeas = solve_metrics(X, Y, T, Z, obj_tt, L_tt, bias_tt)
     assert slack < 1e-3
     assert feas < 1e-3
+
+
+def test_corr_clust_end_to_end_dim3():
+    """Default-suite inequality-path e2e: corr_clust d=3 drives the full
+    IneqStatus machine (ipm_local_solver_ineq, mask rounding,
+    _tt_get_ineq_step_sizes).  Parity:
+    /root/reference/psd_system/corr_clust/corr_clust.py:27-38."""
+    np.random.seed(291)
+    from ttipm_tpu.models.corr_clust import create_problem
+
+    obj_tt, L_tt, bias_tt, ineq_mask, lag_maps = create_problem(3, 1)
+    X, Y, T, Z, info = tt_ipm(
+        lag_maps, obj_tt, L_tt, bias_tt, ineq_mask=ineq_mask,
+        max_iter=22, gap_tol=3e-4, op_tol=1e-4, abs_tol=1e-3,
+        warm_up=3, aho_direction=False, mals_restarts=2, max_refinement=5,
+        lambdaStar=1.0, lambdaStarIneq=1e-3,
+    )
+    status = info["status"]
+    assert status.ineq_status is not IneqStatus.NOT_IN_USE
+    slack, feas, dfeas = solve_metrics(
+        X, Y, T, Z, obj_tt, L_tt, bias_tt,
+        ineq_active=status.ineq_status is IneqStatus.ACTIVE,
+    )
+    assert slack < 1e-3
+    assert feas < 1e-3
+    assert dfeas < 1e-3
+    # X must respect the entrywise barrier on the mask support
+    Xd = np.asarray(tt_matrix_to_matrix(X))
+    mask = np.asarray(tt_matrix_to_matrix(ineq_mask))
+    assert (Xd[mask > 0.5]).min() > -1e-2
+    if T is not None:
+        # T is supported on the inequality mask only
+        Td = np.asarray(tt_matrix_to_matrix(T))
+        assert np.abs(Td[mask < 0.5]).max() < 1e-6
+
+
+@pytest.mark.slow
+def test_graphm_end_to_end_n2():
+    """Graph-matching n=2 (the 5-core lifted QAP) end-to-end — the densest
+    inequality stress in the grid.  Parity:
+    /root/reference/psd_system/graphm/graphm.py:153-233."""
+    np.random.seed(256)
+    from ttipm_tpu.models.graphm import create_problem
+
+    obj_tt, L_tt, bias_tt, ineq_mask, lag_maps = create_problem(2, 1)
+    X, Y, T, Z, info = tt_ipm(
+        lag_maps, obj_tt, L_tt, bias_tt, ineq_mask=ineq_mask,
+        max_iter=25, gap_tol=5e-4, op_tol=1e-4, abs_tol=1e-3,
+        warm_up=3, aho_direction=False, mals_restarts=2, max_refinement=10,
+        lambdaStar=2.0, lambdaStarIneq=1e-8,
+    )
+    slack = abs(tt_inner_prod(X, Z))
+    assert slack < 1e-3

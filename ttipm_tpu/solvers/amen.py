@@ -601,7 +601,7 @@ def make_default_local_solver(rtol: float = 1e-10):
     adaptive-lgmres branch is replaced by eager restarted GMRES on the
     matvec (see solvers/lgmres.py for why not jax.scipy's gmres).
     """
-    from ttipm_tpu.solvers.lgmres import gmres_restarted
+    from ttipm_tpu.solvers.lgmres import lgmres
 
     def local_solver(XAX_k, block_A_k, XAX_k1, Xb_k, block_b_k, Xb_k1,
                      previous_solution, size_limit, dense_ok):
@@ -657,7 +657,7 @@ def make_default_local_solver(rtol: float = 1e-10):
 
             b_flat = jnp.transpose(rhs, (1, 0, 2, 3)).reshape(-1)
             x0_flat = jnp.transpose(previous_solution, (1, 0, 2, 3)).reshape(-1)
-            x, _ = gmres_restarted(
+            x, _ = lgmres(
                 mat_vec, b_flat, x0=x0_flat, rtol=rtol,
                 restart=min(m * block_size, 40), maxiter=100,
             )

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jla
-from ttipm_tpu.solvers.lgmres import gmres_restarted
+from ttipm_tpu.solvers.lgmres import lgmres
 import numpy as np
 
 from ttipm_tpu import config
@@ -280,7 +280,7 @@ def _iterative_eq(XAX_k, block_A_k, XAX_k1, rhs, inv_I, previous_solution,
         jnp.linalg.norm(rhs_vec)
     )
     target = rhs_vec - prev_image if use_prev else rhs_vec
-    sol, _ = gmres_restarted(
+    sol, _ = lgmres(
         reduced_matvec, target, rtol=rtol, restart=min(2 * m, 100), maxiter=5
     )
     if use_prev:
@@ -376,7 +376,7 @@ def _iterative_ineq(XAX_k, block_A_k, XAX_k1, rhs, inv_I, previous_solution,
         jnp.linalg.norm(rhs_vec)
     )
     target = rhs_vec - prev_image if use_prev else rhs_vec
-    sol, _ = gmres_restarted(
+    sol, _ = lgmres(
         reduced_matvec, target, rtol=rtol, restart=min(3 * m, 100), maxiter=5
     )
     if use_prev:
