@@ -34,27 +34,46 @@ if (
 
 import numpy as np
 
-# Provisional wall-clock estimates (seconds) for the Cython CPU reference
-# at rank 1, single seed — placeholders until the reference can be timed
-# in this environment (it needs PETSc/conda; BASELINE.md documents that
-# the repo ships no published numbers).
-PROVISIONAL_BASELINE_S = {3: 5.0, 4: 10.0, 5: 20.0, 6: 40.0, 7: 80.0,
-                          8: 160.0, 9: 320.0, 10: 640.0}
+# The reference publishes no benchmark numbers (BASELINE.md: results/ is
+# gitignored, README has reproduction commands only) and its PETSc/Cython
+# build cannot run in this image, so there is NO measured baseline:
+# vs_baseline is reported as null per the benchmarking protocol
+# (src/utils.py:300-321) until a measured reference number exists.
+# BASELINE.md carries this repo's own measured grid for regression
+# tracking instead.
+
+DEFAULT_GRID = "3:2,5:2,6:1,8:1"  # dim:seeds pairs
+SEED_POOL = [319, 9313, 332, 261, 266]
+
+
+def _solve_once(dim: int, seed: int):
+    import time
+
+    import numpy as np
+
+    from ttipm_tpu.models.maxcut import create_problem
+    from ttipm_tpu.ipm import tt_ipm
+    from ttipm_tpu.ops.tt import tt_inner_prod, tt_reshape
+
+    np.random.seed(seed)
+    obj_tt, L_tt, bias_tt, lag_y = create_problem(dim, 1)
+    lag_maps = {"y": tt_reshape(lag_y, (4, 4))}
+    t0 = time.time()
+    X, Y, T, Z, info = tt_ipm(
+        lag_maps, obj_tt, L_tt, bias_tt,
+        max_iter=22, gap_tol=3e-4, op_tol=1e-4, abs_tol=1e-3,
+        warm_up=3, aho_direction=False, mals_restarts=2, max_refinement=5,
+        lambdaStar=1.0, verbose=False,
+    )
+    elapsed = time.time() - t0
+    slack = abs(float(tt_inner_prod(X, Z)))
+    return elapsed, slack, int(info["num_iters"])
 
 
 def main() -> int:
-    dim = int(os.environ.get("BENCH_DIM", "5"))
-    seed = int(os.environ.get("BENCH_SEED", "319"))
-    # Default to the local CPU backend: the session TPU sits behind a
-    # network tunnel with ~0.4ms per-op latency, and the current solver
-    # still dispatches eagerly from the host (measured: problem creation
-    # 204s over the tunnel vs 4s local).  Once the hot paths are fused
-    # into per-shape jitted kernels the default flips to the device
-    # backend; set BENCH_PLATFORM=axon to measure the TPU path today.
+    grid_spec = os.environ.get("BENCH_GRID", DEFAULT_GRID)
     platform = os.environ.get("BENCH_PLATFORM", "cpu")
     if platform == "cpu":
-        # Tiny per-shape kernels: XLA's O0 halves compile latency, which
-        # dominates host-orchestrated runs (measured on dim-3 maxcut).
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_backend_optimization_level" not in flags:
             os.environ["XLA_FLAGS"] = (
@@ -66,46 +85,62 @@ def main() -> int:
     if platform:
         jax.config.update("jax_platforms", platform)
 
-    # Persistent compilation cache: the solve compiles ~1000 small XLA
-    # programs; a warm cache cut maxcut d3 from 99.9s to 26.3s with
-    # bit-equal results.  Same-host reuse only (config.py docs the XLA:CPU
-    # machine-feature caveat); TTIPM_JAX_CACHE=0 disables.
     from ttipm_tpu import config as ttipm_config
 
     ttipm_config.enable_persistent_cache()
 
-    from ttipm_tpu.models.maxcut import create_problem
-    from ttipm_tpu.ipm import tt_ipm
-    from ttipm_tpu.ops.tt import tt_inner_prod, tt_reshape
+    all_ok = True
+    times = []
+    for part in grid_spec.split(","):
+        dim_s, _, nseeds_s = part.partition(":")
+        dim = int(dim_s)
+        nseeds = int(nseeds_s or "1")
+        dim_times = []
+        for seed in SEED_POOL[:nseeds]:
+            elapsed, slack, iters = _solve_once(dim, seed)
+            converged = slack < 1e-3
+            all_ok = all_ok and converged
+            dim_times.append(elapsed)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"maxcut_d{dim}_seed{seed}_solve_seconds",
+                        "value": round(elapsed, 3),
+                        "unit": "s",
+                        "slackness": float(f"{slack:.3e}"),
+                        "iters": iters,
+                        "converged": converged,
+                        "platform": platform,
+                        "vs_baseline": None,
+                    }
+                ),
+                flush=True,
+            )
+        times.append(
+            {
+                "dim": dim,
+                "mean": float(np.mean(dim_times)),
+                "std": float(np.std(dim_times)),
+            }
+        )
 
-    np.random.seed(seed)
-    obj_tt, L_tt, bias_tt, lag_y = create_problem(dim, 1)
-    lag_maps = {"y": tt_reshape(lag_y, (4, 4))}
-
-    t0 = time.time()
-    X, Y, T, Z, info = tt_ipm(
-        lag_maps, obj_tt, L_tt, bias_tt,
-        max_iter=22, gap_tol=3e-4, op_tol=1e-4, abs_tol=1e-3,
-        warm_up=3, aho_direction=False, mals_restarts=2, max_refinement=5,
-        lambdaStar=1.0, verbose=False,
-    )
-    elapsed = time.time() - t0
-    slack = abs(tt_inner_prod(X, Z))
-    converged = slack < 1e-3
-
-    baseline = PROVISIONAL_BASELINE_S.get(dim)
-    vs_baseline = (baseline / elapsed) if (baseline and converged) else 0.0
+    geomean = float(np.exp(np.mean([np.log(t["mean"]) for t in times])))
+    # the driver parses the LAST stdout line
     print(
         json.dumps(
             {
-                "metric": f"maxcut_d{dim}_solve_seconds",
-                "value": round(elapsed, 3),
+                "metric": "maxcut_grid_geomean_seconds",
+                "value": round(geomean, 3),
                 "unit": "s",
-                "vs_baseline": round(vs_baseline, 4),
+                "grid": times,
+                "platform": platform,
+                "converged_all": all_ok,
+                "vs_baseline": None,
             }
-        )
+        ),
+        flush=True,
     )
-    return 0 if converged else 1
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
