@@ -212,8 +212,12 @@ def test_graphm_end_to_end_n2():
     from ttipm_tpu.models.graphm import create_problem
 
     obj_tt, L_tt, bias_tt, ineq_mask, lag_maps = create_problem(2, 1)
+    # runner contract (utils/runner.py): vec-reshaped objective/bias,
+    # matrix-op-reshaped Lagrange maps
+    lag_maps = {k: tt_reshape(v, (4, 4)) for k, v in lag_maps.items()}
     X, Y, T, Z, info = tt_ipm(
-        lag_maps, obj_tt, L_tt, bias_tt, ineq_mask=ineq_mask,
+        lag_maps, tt_reshape(obj_tt, (4,)), L_tt, tt_reshape(bias_tt, (4,)),
+        ineq_mask=ineq_mask,
         max_iter=25, gap_tol=5e-4, op_tol=1e-4, abs_tol=1e-3,
         warm_up=3, aho_direction=False, mals_restarts=2, max_refinement=10,
         lambdaStar=2.0, lambdaStarIneq=1e-8,

@@ -49,3 +49,53 @@ def test_batched_metric_reduction(mesh8):
     errs = jnp.arange(8.0, dtype=config.dtype())
     out = batched_solve_metrics(mesh8, errs)
     assert float(out) == float(errs.mean())
+
+
+def test_fused_batch_on_mesh_matches_single():
+    """The mesh-batched fused solver (parallel/fused_mesh.py) must agree
+    with per-instance single-device solves on real block-KKT structure;
+    the batch rides the 'seeds' axis and bond axes ride 'kkt'."""
+    import jax
+    import numpy as np
+
+    from test_fused import _make_kkt_system
+    from ttipm_tpu.parallel.fused_mesh import make_mesh, tt_block_amen_fused_batch
+    from ttipm_tpu.solvers.fused import (
+        tt_block_amen_fused,
+        _prep_operator,
+        _prep_rhs,
+        _fused_residual_norm,
+    )
+
+    rng = np.random.RandomState(4)
+    d = 3
+    systems = [_make_kkt_system(d, rng) for _ in range(4)]
+
+    mesh = make_mesh(8, kkt=2)
+    # R=16 clamps to the full structural bond width at d=3, so the fixed-
+    # rank solve is exact up to conditioning
+    xs, res = tt_block_amen_fused_batch(
+        [s[0] for s in systems], [s[1] for s in systems],
+        R=16, ineq=False, mesh=mesh, term_tol=1e-10, nswp=14, seed=7,
+    )
+    assert np.isfinite(res).all()
+    for (lhs, rhs), x in zip(systems, xs):
+        A = _prep_operator(lhs, d, ineq=False)
+        b = _prep_rhs(rhs, d, ineq=False)
+        rn = _fused_residual_norm(A, b, list(x), ineq=False)
+        nrm = rhs.norm
+        assert rn / nrm < 1e-6, rn / nrm
+
+    # lockstep-batched quality must match the single-instance solver at
+    # identical settings on the FIRST instance (same sweep programs; exact
+    # bit-equality is not guaranteed because the batch consumes a shared
+    # warm-start RNG stream)
+    x_single, _ = tt_block_amen_fused(
+        systems[0][0], systems[0][1], term_tol=1e-10, R=16, ineq=False,
+        nswp=14, seed=7,
+    )
+    A = _prep_operator(systems[0][0], d, ineq=False)
+    b = _prep_rhs(systems[0][1], d, ineq=False)
+    rn_single = _fused_residual_norm(A, b, list(x_single), ineq=False)
+    rn_batch = _fused_residual_norm(A, b, list(xs[0]), ineq=False)
+    assert rn_batch < max(10 * rn_single, 1e-8 * systems[0][1].norm)
