@@ -82,12 +82,19 @@ def main() -> int:
 
     import jax
 
-    if platform:
+    offload = platform == "offload"
+    if offload:
+        # heterogeneous mode: host orchestration + cheap TT algebra on the
+        # local CPU backend, fused sweep/eigen programs on the TPU
+        jax.config.update("jax_platforms", "cpu,axon")
+    elif platform:
         jax.config.update("jax_platforms", platform)
 
     from ttipm_tpu import config as ttipm_config
 
     ttipm_config.enable_persistent_cache()
+    if offload:
+        ttipm_config.set_offload("axon")
 
     all_ok = True
     times = []

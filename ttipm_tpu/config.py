@@ -58,6 +58,51 @@ def clamp_eps(eps: float) -> float:
 
 _RANK_BUCKET = 4
 
+# --- Heterogeneous offload ---------------------------------------------------
+#
+# The session TPU sits behind a network tunnel: eager per-op dispatch costs
+# ~0.4ms and every tiny TT bookkeeping op compiles remotely.  Offload mode
+# keeps the host orchestration and the cheap TT algebra on the local CPU
+# backend and routes only the HEAVY fused programs (AMEn sweeps, eigen
+# window steps -- ~95% of the FLOPs) to the accelerator: their inputs are
+# device_put once per solve and the state stays device-resident across
+# sweeps.  Enable with jax_platforms="cpu,axon" + set_offload("axon").
+
+_OFFLOAD_DEVICE = None
+
+
+def set_offload(platform) -> None:
+    global _OFFLOAD_DEVICE
+    if platform is None:
+        _OFFLOAD_DEVICE = None
+        return
+    import jax
+
+    _OFFLOAD_DEVICE = jax.devices(platform)[0]
+
+
+def offload_device():
+    return _OFFLOAD_DEVICE
+
+
+def offload_put(tree):
+    """device_put a pytree to the offload device (identity when off)."""
+    if _OFFLOAD_DEVICE is None:
+        return tree
+    import jax
+
+    return jax.device_put(tree, _OFFLOAD_DEVICE)
+
+
+def offload_fetch(tree):
+    """Bring results back to the host default device (identity when off)."""
+    if _OFFLOAD_DEVICE is None:
+        return tree
+    import jax
+
+    return jax.device_put(tree, jax.devices()[0])
+
+
 # --- Fused fixed-rank KKT solver (solvers/fused.py) ------------------------
 #
 # When enabled, the IPM routes its Newton solves through the fused

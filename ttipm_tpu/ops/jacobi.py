@@ -303,3 +303,20 @@ def _use_jacobi() -> bool:
     if _FORCE_JACOBI is not None:
         return _FORCE_JACOBI
     return jax.default_backend() == "tpu"
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def forced(flag):
+    """Scoped force_jacobi: offloaded fused programs trace under
+    forced(True) so their SVD/eigh lower to the Jacobi kernels even when
+    the host default backend is CPU."""
+    global _FORCE_JACOBI
+    old = _FORCE_JACOBI
+    _FORCE_JACOBI = flag
+    try:
+        yield
+    finally:
+        _FORCE_JACOBI = old

@@ -885,18 +885,39 @@ def tt_block_amen_fused(
     ZAX: List = [pz0] + [None] * (d - 1) + [dict(pz0)]
     Zb: List = [pb0] + [None] * (d - 1) + [list(pb0)]
 
+    # Heterogeneous offload (config.set_offload): move the solve state to
+    # the accelerator once; every sweep below is then a single on-device
+    # program and the only per-sweep traffic is the res/dx scalars.
+    offloaded = config.offload_device() is not None
+    if offloaded:
+        (A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb) = config.offload_put(
+            (A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb)
+        )
+        x_cores = list(x_cores)
+        z_cores = list(z_cores)
+        XAX = list(XAX)
+        Xb = list(Xb)
+        ZAX = list(ZAX)
+        Zb = list(Zb)
+    from contextlib import nullcontext
+
+    from ttipm_tpu.ops import jacobi as _jacobi
+
+    _trace_ctx = (lambda: _jacobi.forced(True)) if offloaded else nullcontext
+
     last = False
     final_res = np.inf
     swp = 0
     for swp in range(nswp + 1):
         solve = (swp > 0) and not last
         caps = tuple(caps_bck if direction > 0 else caps_fwd)
-        (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _sweep_program(
-            A, b, tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
-            tuple(ZAX), tuple(Zb),
-            ineq=ineq, caps=caps, kick=kick_rank, solve=solve,
-            direction=direction,
-        )
+        with _trace_ctx():
+            (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _sweep_program(
+                A, b, tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
+                tuple(ZAX), tuple(Zb),
+                ineq=ineq, caps=caps, kick=kick_rank, solve=solve,
+                direction=direction,
+            )
         x_cores = list(x_cores)
         z_cores = list(z_cores)
         XAX = list(XAX)
@@ -920,6 +941,8 @@ def tt_block_amen_fused(
                   f"dx {local_dx:.3e}", flush=True)
         direction *= -1
 
+    if offloaded:
+        x_cores = config.offload_fetch(tuple(x_cores))
     return list(x_cores), final_res
 
 

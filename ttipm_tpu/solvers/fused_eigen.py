@@ -317,7 +317,7 @@ def _prep_vec(x0, d: int, n: int, caps: List[int], rng) -> List[jax.Array]:
 # Drivers
 # ---------------------------------------------------------------------------
 
-def tt_max_generalised_eigen_fused(
+def _tt_max_generalised_eigen_fused_impl(
     A: TT, Delta: TT, x0: Optional[TT] = None, nswp: int = 10,
     tol: float = 1e-8, R: int = 8, verbose: bool = False,
 ):
@@ -339,6 +339,12 @@ def tt_max_generalised_eigen_fused(
 
     tol_dev = jnp.asarray(tol, dtype=config.dtype())
     alpha = jnp.asarray(1.0, dtype=config.dtype())
+    if config.offload_device() is not None:
+        (A_p, D_p, x_cores, XAX, XDX, tol_dev, alpha) = config.offload_put(
+            (A_p, D_p, x_cores, XAX, XDX, tol_dev, alpha)
+        )
+        A_p, D_p, x_cores = list(A_p), list(D_p), list(x_cores)
+        XAX, XDX = list(XAX), list(XDX)
     local_res = np.inf * np.ones((2, max(d - 1, 1)))
     trunc_tol = tol / np.sqrt(d)
     prev_sweep_step = None
@@ -439,13 +445,13 @@ def tt_max_generalised_eigen_fused(
     if not np.isfinite(step_size) or step_size < 0:
         step_size = 0.0
     max_res = float(np.max(local_res))
-    x_cores = tt_normalise(list(x_cores))
+    x_cores = tt_normalise(list(config.offload_fetch(tuple(x_cores))))
     if max_res > tol and np.isfinite(max_res) and max_res > 0:
         step_size *= tol / max_res
     return step_size, x_cores
 
 
-def tt_min_eig_fused(
+def _tt_min_eig_fused_impl(
     A: TT, x0: Optional[TT] = None, nswp: int = 10, tol: float = 1e-8,
     R: int = 8, return_eig_val: bool = False, verbose: bool = False,
 ):
@@ -464,6 +470,9 @@ def tt_min_eig_fused(
 
     ones3 = jnp.ones((1, 1, 1), dtype=config.dtype())
     XAX = [ones3] + [None] * (d - 1) + [ones3]
+    if config.offload_device() is not None:
+        A_p, x_cores, XAX = config.offload_put((A_p, x_cores, XAX))
+        A_p, x_cores, XAX = list(A_p), list(x_cores), list(XAX)
     prev_sweep_res = np.inf
     max_res = 0.0
 
@@ -531,10 +540,36 @@ def tt_min_eig_fused(
             break
         prev_sweep_res = max_res
 
-    x_cores = tt_normalise(list(x_cores))
+    x_cores = tt_normalise(list(config.offload_fetch(tuple(x_cores))))
     min_eig_value = None
     if return_eig_val:
         min_eig_value = tt_inner_prod(
             x_cores, tt_fast_matrix_vec_mul(A, x_cores, 1e-12)
         )
     return x_cores, min_eig_value
+
+
+def tt_max_generalised_eigen_fused(*args, **kwargs):
+    """Public entry: runs the fused MALS driver; under heterogeneous
+    offload (config.set_offload) the window-step programs trace with the
+    TPU-safe Jacobi factorizations and execute on the offload device."""
+    from contextlib import nullcontext
+
+    from ttipm_tpu.ops import jacobi as _jacobi
+
+    ctx = (_jacobi.forced(True) if config.offload_device() is not None
+           else nullcontext())
+    with ctx:
+        return _tt_max_generalised_eigen_fused_impl(*args, **kwargs)
+
+
+def tt_min_eig_fused(*args, **kwargs):
+    """Public entry for the fused min-eig driver (see above)."""
+    from contextlib import nullcontext
+
+    from ttipm_tpu.ops import jacobi as _jacobi
+
+    ctx = (_jacobi.forced(True) if config.offload_device() is not None
+           else nullcontext())
+    with ctx:
+        return _tt_min_eig_fused_impl(*args, **kwargs)
