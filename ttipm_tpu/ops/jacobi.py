@@ -38,17 +38,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TINY", "safe_svd", "safe_eigh", "jacobi_svd", "jacobi_eigh"]
+__all__ = ["TINY", "safe_svd", "safe_eigh", "fast_split_svd",
+           "jacobi_svd", "jacobi_eigh", "jacobi_svd_fast"]
 
 # Smallest magnitude that is safely representable AND whose square is
 # representable in v5e's f32-pair f64 emulation (min normal ~1e-38; we
 # keep squares of guard quotients finite too).
 TINY = 1e-30
 
-# Off-diagonal reduction target, relative.  f32-pair arithmetic carries
-# ~2^-49 relative precision; 1e-14 leaves headroom without extra sweeps.
-_JACOBI_TOL = 1e-14
+# Off-diagonal reduction target, relative.  v5e's f32-pair arithmetic
+# plateaus at an off-diagonal mass that grows roughly linearly in n
+# (measured on-chip: ~1e-14 at n<=64, 4.05e-14 at n=128 after grinding
+# the full sweep cap), so the target scales with n to sit just above the
+# plateau at every size.  Same shape for true f32 with n*eps_f32 slope.
+_JACOBI_TOL = 4e-14
 _MAX_SWEEPS = 26
+
+# All rotation/update matmuls run at Precision.HIGHEST: TPU f32 matmuls
+# otherwise lower to bf16 passes, which caps achievable orthogonality at
+# ~5e-3 (measured) and stalls Jacobi convergence entirely.
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+def _tol_for(n: int, dtype) -> float:
+    if jnp.dtype(dtype) == jnp.float32:
+        return max(4e-6, n * 1.5e-7)
+    return max(_JACOBI_TOL, n * 4e-16)
 
 
 @lru_cache(maxsize=64)
@@ -66,11 +81,29 @@ def _round_robin(n: int):
     return np.asarray(ii, dtype=np.int32), np.asarray(jj, dtype=np.int32)
 
 
-def _svd_rotations(a, b, c, dtype):
+@lru_cache(maxsize=64)
+def _schedule_onehots(n: int):
+    """(n-1, n, n/2) one-hot selector stacks E_i, E_j for the round-robin
+    schedule: W @ E_i gathers this step's left columns as a MATMUL.  TPU
+    lane-dimension gathers/scatters are slow and Mosaic-hostile; selecting
+    and applying the disjoint rotations as matmuls keeps the whole sweep
+    on the MXU."""
+    si, sj = _round_robin(n)
+    steps, p = si.shape
+    Ei = np.zeros((steps, n, p))
+    Ej = np.zeros((steps, n, p))
+    rows = np.arange(p)
+    for k in range(steps):
+        Ei[k, si[k], rows] = 1.0
+        Ej[k, sj[k], rows] = 1.0
+    return Ei, Ej
+
+
+def _svd_rotations(a, b, c, dtype, tol=_JACOBI_TOL):
     """One-sided Jacobi rotation (cs, sn) orthogonalising column pairs
     with Gram entries (a=<wi,wi>, b=<wj,wj>, c=<wi,wj>)."""
     denom = jnp.sqrt(a * b)
-    rotate = jnp.abs(c) > _JACOBI_TOL * denom
+    rotate = jnp.abs(c) > tol * denom
     c_safe = jnp.where(rotate, c, jnp.ones_like(c))
     tau = (b - a) / (2.0 * c_safe)
     t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
@@ -87,30 +120,37 @@ def _svd_rotations(a, b, c, dtype):
 @partial(jax.jit, static_argnames=())
 def _jacobi_orthogonalise(w):
     """Rotate the columns of ``w`` (m, n even) to mutual orthogonality.
-    Returns (w_rot, v) with w_rot = w @ v and v exactly orthonormal."""
+    Returns (w_rot, v) with w_rot = w @ v and v exactly orthonormal.
+
+    Each step applies its n/2 disjoint rotations as ONE (n, n) rotation
+    matrix G assembled from the schedule one-hots — column-pair selection
+    and update both ride the MXU instead of lane gathers/scatters."""
     m, n = w.shape
-    sched_i, sched_j = _round_robin(n)
-    si = jnp.asarray(sched_i)
-    sj = jnp.asarray(sched_j)
+    tol = _tol_for(n, w.dtype)
+    Ei_np, Ej_np = _schedule_onehots(n)
+    Ei_all = jnp.asarray(Ei_np, dtype=w.dtype)
+    Ej_all = jnp.asarray(Ej_np, dtype=w.dtype)
     v0 = jnp.eye(n, dtype=w.dtype)
 
     def one_step(k, wv):
         w, v = wv
-        ii, jj = si[k], sj[k]
-        wi, wj = w[:, ii], w[:, jj]
+        Ei = Ei_all[k]
+        Ej = Ej_all[k]
+        wi = _mm(w, Ei)
+        wj = _mm(w, Ej)
         a = jnp.sum(wi * wi, axis=0)
         b = jnp.sum(wj * wj, axis=0)
         c = jnp.sum(wi * wj, axis=0)
-        cs, sn = _svd_rotations(a, b, c, w.dtype)
-        w = w.at[:, ii].set(cs * wi - sn * wj).at[:, jj].set(sn * wi + cs * wj)
-        vi, vj = v[:, ii], v[:, jj]
-        v = v.at[:, ii].set(cs * vi - sn * vj).at[:, jj].set(sn * vi + cs * vj)
-        return w, v
+        cs, sn = _svd_rotations(a, b, c, w.dtype, tol)
+        # G[:, i_p] = cs e_i - sn e_j ; G[:, j_p] = sn e_i + cs e_j
+        G = (_mm(Ei * cs, Ei.T) + _mm(Ej * cs, Ej.T)
+             + _mm(Ei * sn, Ej.T) - _mm(Ej * sn, Ei.T))
+        return _mm(w, G), _mm(v, G)
 
     def sweep(state):
         w, v, swp, _ = state
         w, v = jax.lax.fori_loop(0, n - 1, one_step, (w, v))
-        g = w.T @ w
+        g = _mm(w.T, w)
         d = jnp.diagonal(g)
         # clamp AFTER the sqrt: TINY**2 itself underflows to 0 in v5e's
         # f32-pair f64 (min normal ~1e-38) and 0/0 here NaN'd the loop
@@ -121,12 +161,23 @@ def _jacobi_orthogonalise(w):
 
     def keep_going(state):
         _, _, swp, off = state
-        return (swp < _MAX_SWEEPS) & (off > _JACOBI_TOL)
+        return (swp < _MAX_SWEEPS) & (off > tol)
 
     w, v, _, _ = jax.lax.while_loop(
         keep_going, sweep, (w, v0, jnp.int32(0), jnp.asarray(jnp.inf, w.dtype))
     )
     return w, v
+
+
+def _f32_prerotation(r_pad, dtype):
+    """f32 Jacobi pre-pass: returns an exactly-orthonormal (f64) v0 that
+    orthogonalises r_pad's columns to ~f32 level.  Warm-starting the f64
+    polish from it cuts its quadratic-convergence sweeps from ~9-26 cold
+    to ~2-4.  Underflowed tiny/zero f32 columns simply skip their
+    rotations (guarded) and are left for the f64 polish."""
+    _, v32 = _jacobi_orthogonalise(r_pad.astype(jnp.float32))
+    v0, _ = jnp.linalg.qr(v32.astype(dtype))
+    return v0
 
 
 def _jacobi_factor_tall(a):
@@ -140,7 +191,9 @@ def _jacobi_factor_tall(a):
     q, r = jnp.linalg.qr(a / scale)
     pad = n % 2
     r_pad = jnp.pad(r, ((0, 0), (0, pad))) if pad else r
-    w, v = _jacobi_orthogonalise(r_pad)
+    v0 = _f32_prerotation(r_pad, a.dtype)
+    w, v = _jacobi_orthogonalise(_mm(r_pad, v0))
+    v = _mm(v0, v)
     # sort columns by descending norm; a padded column is exactly zero
     # (rotations against it are skipped) and sorts last
     norms2 = jnp.sum(w * w, axis=0)
@@ -178,6 +231,60 @@ def jacobi_svd(a):
     return u, s * scale, vt
 
 
+def _jacobi_factor_tall_fast(a):
+    """Mixed-precision tall pipeline for FIXED-RANK splits: the Jacobi
+    rotations run in f32 (native MXU speed instead of f64 emulation), the
+    rotation product is re-orthonormalised EXACTLY in f64 by Householder
+    QR, and the final split is exact f64 by construction.  Only the
+    singular-value ESTIMATES carry f32 accuracy (~1e-7 relative): fine
+    for keep-the-top-R truncations, not for eps-threshold rounding."""
+    m, n = a.shape
+    scale = jnp.max(jnp.abs(a))
+    scale = jnp.where(jnp.isfinite(scale) & (scale > 0), scale,
+                      jnp.ones((), a.dtype))
+    q, r = jnp.linalg.qr(a / scale)
+    pad = n % 2
+    r_pad = jnp.pad(r, ((0, 0), (0, pad))) if pad else r
+    v64 = _f32_prerotation(r_pad, a.dtype)
+    w = _mm(r_pad, v64)
+    norms2 = jnp.sum(w * w, axis=0)
+    order = jnp.argsort(-norms2)[:n]
+    w_s = w[:, order]
+    v_s = v64[:n, order] if pad else v64[:, order]
+    qw, rw = jnp.linalg.qr(w_s)
+    return q, qw, rw, v_s, scale
+
+
+def jacobi_svd_fast(a):
+    """Fixed-rank-split SVD: exact f64 factorization with f32-accurate
+    singular-value ordering (see _jacobi_factor_tall_fast)."""
+    m, n = a.shape
+    if m >= n:
+        q, qw, rw, v_s, scale = _jacobi_factor_tall_fast(a)
+        u = q @ qw
+        s = jnp.linalg.norm(rw, axis=1)
+        coeff = rw @ v_s.T
+        vt = coeff / jnp.maximum(s, TINY)[:, None]
+        return u, s * scale, vt
+    q, qw, rw, v_s, scale = _jacobi_factor_tall_fast(a.T)
+    u = v_s
+    s = jnp.linalg.norm(rw, axis=0)
+    coeff = rw.T @ (q @ qw).T
+    vt = coeff / jnp.maximum(s, TINY)[:, None]
+    return u, s * scale, vt
+
+
+def fast_split_svd(a, full_matrices: bool = False):
+    """SVD for fixed-rank basis splits (fused sweeps): LAPACK on CPU, the
+    mixed-precision Jacobi pipeline on TPU.  The split u @ (s*vt) == a is
+    exact and u exactly orthonormal on both paths; only the ordering of
+    near-equal singular values differs at f32 resolution."""
+    assert not full_matrices
+    if not _use_jacobi():
+        return jnp.linalg.svd(a, full_matrices=False)
+    return jacobi_svd_fast(a)
+
+
 def safe_svd(a, full_matrices: bool = False):
     """Drop-in for ``jnp.linalg.svd(a, full_matrices=False)`` that cannot
     NaN on v5e f64 emulation.  On CPU this is LAPACK; on TPU a one-sided
@@ -199,6 +306,7 @@ def _jacobi_eigh_core(a):
     """Cyclic two-sided Jacobi for a symmetric (n, n) matrix, n even.
     Returns (w ascending, V) with a == V @ diag(w) @ V.T."""
     n = a.shape[0]
+    tol = _tol_for(n, a.dtype)
     sched_i, sched_j = _round_robin(n)
     si = jnp.asarray(sched_i)
     sj = jnp.asarray(sched_j)
@@ -211,7 +319,7 @@ def _jacobi_eigh_core(a):
         ajj = a[jj, jj]
         aij = a[ii, jj]
         # rotation zeroing a_ij (Golub & Van Loan 8.4)
-        rotate = jnp.abs(aij) > _JACOBI_TOL * jnp.sqrt(
+        rotate = jnp.abs(aij) > tol * jnp.sqrt(
             jnp.abs(aii * ajj) + TINY
         )
         aij_safe = jnp.where(rotate, aij, jnp.ones_like(aij))
@@ -245,7 +353,7 @@ def _jacobi_eigh_core(a):
 
     def keep_going(state):
         _, _, swp, off = state
-        return (swp < _MAX_SWEEPS) & (off > _JACOBI_TOL)
+        return (swp < _MAX_SWEEPS) & (off > tol)
 
     a, v, _, _ = jax.lax.while_loop(
         keep_going, sweep, (a, v0, jnp.int32(0), jnp.asarray(jnp.inf, a.dtype))

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ttipm_tpu.ops.jacobi import TINY, safe_svd
+from ttipm_tpu.ops.jacobi import TINY, fast_split_svd
 
 from ttipm_tpu import config
 from ttipm_tpu.ops.linalg import qr_apply, qr_factor, qr_solve
@@ -310,7 +310,7 @@ def _phis_fwd(A, b, x_core, z_core, pl, bl, zl, zbl, ineq: bool):
 
 
 def _trunc_svd(mat, k: int):
-    u, s, vt = safe_svd(mat, full_matrices=False)
+    u, s, vt = fast_split_svd(mat, full_matrices=False)
     return u[:, :k], (s[:k, None] * vt[:k])
 
 
@@ -340,7 +340,7 @@ def _bck_split_step(
 
     scales = _column_scales(sol)
     mat = jnp.reshape(scales * sol, (rl * bs, n * rr)).T  # (n*rr, rl*bs)
-    u, s, vt = safe_svd(mat, full_matrices=False)
+    u, s, vt = fast_split_svd(mat, full_matrices=False)
     v = s[:, None] * vt
 
     # AMEn enrichment GROWS the basis by up to ``kick`` projected-residual
@@ -423,7 +423,7 @@ def _fwd_split_step(
 
     scales = _column_scales(sol)
     mat = jnp.transpose(scales * sol, (0, 2, 1, 3)).reshape(rl * n, bs * rr)
-    u, s, vt = safe_svd(mat, full_matrices=False)
+    u, s, vt = fast_split_svd(mat, full_matrices=False)
     v = s[:, None] * vt
     u3 = u.reshape(rl, n, -1)
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ttipm_tpu.ops.jacobi import TINY, safe_eigh, safe_svd
+from ttipm_tpu.ops.jacobi import TINY, fast_split_svd, safe_eigh
 
 from ttipm_tpu import config
 from ttipm_tpu.ops.tt import TT, tt_normalise
@@ -107,7 +107,7 @@ def _split_bck(x, shape, r_out: int):
     """x: window vector; split keeping the right core orthonormal."""
     rl, n1, n2, rr = shape
     mat = x.reshape(rl * n1, n2 * rr).T
-    u, s, vt = safe_svd(mat, full_matrices=False)
+    u, s, vt = fast_split_svd(mat, full_matrices=False)
     sol2 = u[:, :r_out].T.reshape(r_out, n2, rr)
     sol1 = (s[:r_out, None] * vt[:r_out]).T.reshape(rl, n1, r_out)
     return sol1, sol2
@@ -116,7 +116,7 @@ def _split_bck(x, shape, r_out: int):
 def _split_fwd(x, shape, r_out: int):
     rl, n1, n2, rr = shape
     mat = x.reshape(rl * n1, n2 * rr)
-    u, s, vt = safe_svd(mat, full_matrices=False)
+    u, s, vt = fast_split_svd(mat, full_matrices=False)
     sol1 = u[:, :r_out].reshape(rl, n1, r_out)
     sol2 = (s[:r_out, None] * vt[:r_out]).reshape(r_out, n2, rr)
     return sol1, sol2
@@ -165,7 +165,7 @@ def _gen_last_step(
     rl, n, rr = shape
     if bwd:
         mat = x.reshape(rl, n * rr).T
-        u, s, vt = safe_svd(mat, full_matrices=False)
+        u, s, vt = fast_split_svd(mat, full_matrices=False)
         core = u[:, :r_out].T.reshape(r_out, n, rr)
         v = (s[:r_out, None] * vt[:r_out]).T  # (rl, r_out)
         nb_new = jnp.einsum("rdc,cR->rdR", neighbor, v)
@@ -173,7 +173,7 @@ def _gen_last_step(
         pD_upd = _phi_bck(pDr, core, D_k, core)
     else:
         mat = x.reshape(rl * n, rr)
-        u, s, vt = safe_svd(mat, full_matrices=False)
+        u, s, vt = fast_split_svd(mat, full_matrices=False)
         core = u[:, :r_out].reshape(rl, n, r_out)
         v = s[:r_out, None] * vt[:r_out]  # (r_out, rr)
         nb_new = jnp.einsum("ij,jkl->ikl", v, neighbor)
@@ -188,7 +188,7 @@ def _orth_bck_step(x_km1, x_k, ops_k, phis_r, r_out: int, n_ops: int):
     update the interfaces of ``n_ops`` operators at once."""
     rl, n, rr = x_k.shape
     mat = x_k.reshape(rl, n * rr).T
-    u, s, vt = safe_svd(mat, full_matrices=False)
+    u, s, vt = fast_split_svd(mat, full_matrices=False)
     core = u[:, :r_out].T.reshape(r_out, n, rr)
     v = (s[:r_out, None] * vt[:r_out]).T
     x_km1_new = jnp.einsum("rdc,cR->rdR", x_km1, v)
@@ -234,14 +234,14 @@ def _min_last_step(pl, A_k, pr, neighbor, prev, r_out: int, bwd: bool,
     rl, n, rr = shape
     if bwd:
         mat = x.reshape(rl, n * rr).T
-        u, s, vt = safe_svd(mat, full_matrices=False)
+        u, s, vt = fast_split_svd(mat, full_matrices=False)
         core = u[:, :r_out].T.reshape(r_out, n, rr)
         v = (s[:r_out, None] * vt[:r_out]).T
         nb_new = jnp.einsum("rdc,cR->rdR", neighbor, v)
         p_upd = _phi_bck(pr, core, A_k, core)
     else:
         mat = x.reshape(rl * n, rr)
-        u, s, vt = safe_svd(mat, full_matrices=False)
+        u, s, vt = fast_split_svd(mat, full_matrices=False)
         core = u[:, :r_out].reshape(rl, n, r_out)
         v = s[:r_out, None] * vt[:r_out]
         nb_new = jnp.einsum("ij,jkl->ikl", v, neighbor)
