@@ -53,6 +53,19 @@ def _device_peak_mem_mb() -> float:
     return float("nan")
 
 
+def _peak_mem_mb(rss_tracker) -> float:
+    """Reference metric: peak process-tree RSS delta over the solve
+    (src/utils.py:292-297).  On a device backend the device buffer peak is
+    reported when it exceeds host RSS growth (the iterates live on-chip)."""
+    rss = rss_tracker.peak_delta_mb if rss_tracker is not None else float("nan")
+    dev = _device_peak_mem_mb()
+    import jax
+
+    if jax.default_backend() != "cpu" and np.isfinite(dev):
+        return max(rss, dev) if np.isfinite(rss) else dev
+    return rss
+
+
 def run_and_record(seed, s_i, rank, config, args, create_problem_fn, rec):
     """One seeded solve + metric extraction (src/utils.py:245-321)."""
     from ttipm_tpu.ipm import IneqStatus, tt_ipm
@@ -65,6 +78,12 @@ def run_and_record(seed, s_i, rank, config, args, create_problem_fn, rec):
         tt_sub,
         tt_transpose,
     )
+
+    rss_tracker = None
+    if args.track_mem:
+        from ttipm_tpu.utils.memtrack import PeakRSSTracker
+
+        rss_tracker = PeakRSSTracker().__enter__()
 
     np.random.seed(seed)
     t1 = time.time()
@@ -126,7 +145,8 @@ def run_and_record(seed, s_i, rank, config, args, create_problem_fn, rec):
     if rec.get("ranksT") is not None:
         rec["ranksT"][s_i, :] = info["ranksT"]
     if args.track_mem:
-        rec["memory"][s_i] = _device_peak_mem_mb()
+        rss_tracker.__exit__()
+        rec["memory"][s_i] = _peak_mem_mb(rss_tracker)
 
     print(
         f"Convergence after {rec['num_iters'][s_i]:.0f} iterations. "
@@ -155,7 +175,24 @@ def run_experiment(create_problem_fn=None, argv=None, problem_name=None):
                              "'default' to keep the session backend.")
     parser.add_argument("--no_resample", action="store_true",
                         help="disable pathological-seed resampling")
+    parser.add_argument("--solver", type=str, default="ttipm",
+                        choices=("ttipm", "scs", "sdpa", "cgal", "scgal",
+                                 "manopt"),
+                        help="ttipm (default) runs the TT-IPM; any other "
+                             "value dispatches to the dense baseline "
+                             "runner (utils/baseline_runner.py)")
     args = parser.parse_args(argv)
+
+    if args.solver != "ttipm":
+        from ttipm_tpu.utils.baseline_runner import run_baseline_experiment
+
+        baseline_argv = ["--problem", args.problem or problem_name,
+                         "--solver", args.solver,
+                         "--config", args.config,
+                         "--rank", str(args.rank)]
+        if args.track_mem:
+            baseline_argv.append("--track_mem")
+        return run_baseline_experiment(baseline_argv)
 
     if args.platform and args.platform != "default":
         import jax
