@@ -44,3 +44,45 @@ def test_ipm_survives_fused_exhaustion(monkeypatch):
     # fallback carried every Newton solve, and the IPM still converged.
     assert calls["fused"] == 1
     assert abs(tt_inner_prod(X, Z)) < 1e-3
+
+
+def test_numerical_tripwire_raises_and_recovers():
+    """The tripwire (config.numerical_tripwire, parity src/tt_ipm.py:15-16)
+    must promote silent numpy NaN production to an exception, and the
+    Newton step's recovery branch must absorb it (zero step, None dirs)."""
+    from ttipm_tpu import ipm as ipm_mod
+
+    with pytest.raises(FloatingPointError):
+        with config.numerical_tripwire():
+            np.float64(1.0) / np.float64(0.0)
+
+    with pytest.raises((FloatingPointError, RuntimeWarning)):
+        with config.numerical_tripwire():
+            np.sqrt(np.array([-1.0]))
+
+    # route through the real newton step: a solver that poisons the host
+    # arithmetic must land in the recovery branch, not corrupt the state
+    def poisoned_solver(*a, **k):
+        with config.numerical_tripwire():
+            return np.log(np.array([-1.0]))
+
+    out = ipm_mod._tt_ipm_newton_step(
+        None, None, None, None, None, None, 1.0, 0.0,
+        ipm_mod._IPMStatus() if hasattr(ipm_mod, "_IPMStatus") else _status(),
+        poisoned_solver,
+    )
+    x_step, z_step = out[0], out[1]
+    assert x_step == 0 and z_step == 0
+    assert out[2] is None
+
+
+def _status():
+    from ttipm_tpu.ipm import IneqStatus
+
+    class S:
+        ineq_status = IneqStatus.INACTIVE
+        is_central = False
+        is_last_iter = False
+        sigma = 0.0
+
+    return S()

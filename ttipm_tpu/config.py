@@ -46,6 +46,40 @@ def clamp_eps(eps: float) -> float:
     return max(float(eps), _EPS_FLOOR)
 
 
+# --- Numerical tripwire -----------------------------------------------------
+#
+# The reference promotes numpy warnings to errors at import
+# (/root/reference/src/tt_ipm.py:15-16) so that silent NaN/overflow
+# production on the eager paths raises immediately and the IPM's
+# total-function recovery chain fires at the first bad arithmetic rather
+# than after a whole corrupted sweep.  Global ``np.seterr`` would also
+# trip legitimate warning-producing code (nan-reductions in reporting),
+# so here the tripwire is a context manager scoped to the Newton step —
+# exactly the region whose failures the recovery chain is built to absorb.
+# Jitted JAX programs never warn; they are covered by the explicit
+# finiteness gates in ipm.py/fused.py (and, for debugging, by
+# TTIPM_DEBUG_NANS=1 which flips jax_debug_nans on at import).
+
+import contextlib as _contextlib
+import os as _os
+import warnings as _warnings
+
+if _os.environ.get("TTIPM_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
+
+@_contextlib.contextmanager
+def numerical_tripwire():
+    """Promote host-side numpy RuntimeWarnings (invalid value, overflow,
+    divide-by-zero) to exceptions inside the wrapped region."""
+    import numpy as _np
+
+    with _np.errstate(invalid="raise", divide="raise", over="raise"):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", RuntimeWarning)
+            yield
+
+
 # --- Rank bucketing -------------------------------------------------------
 #
 # TT bond ranks are data-dependent, so every op sees a stream of new array

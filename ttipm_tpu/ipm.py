@@ -33,6 +33,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from ttipm_tpu import config
 from ttipm_tpu.ops.tt import (
     TT,
     tt_add,
@@ -471,6 +472,26 @@ def _tt_ipm_newton_step(
     """Predictor solve -> step sizes -> Mehrotra sigma -> corrector solve.
     Contract of src/tt_ipm.py:571-697."""
     try:
+        return _newton_step_inner(
+            lhs_matrix_tt, rhs_vec_tt, ineq_mask, X_tt, Z_tt, T_tt, ZX, TX,
+            status, solver,
+        )
+    except Exception as e:
+        # Total-function recovery (parity :691-695): AmenToleranceReached,
+        # AmenRestartsExhausted and numerical failures all route the outer
+        # loop into its PSD-boundary / finishing branch.
+        print(f"\n\tAttention: {e}")
+        traceback.print_exc(file=sys.stdout)
+        return 0, 0, None, None, None, None, status
+
+
+def _newton_step_inner(
+    lhs_matrix_tt, rhs_vec_tt, ineq_mask, X_tt, Z_tt, T_tt, ZX, TX, status, solver,
+):
+    # Numerical tripwire (parity src/tt_ipm.py:15-16): host-side numpy
+    # NaN/overflow production raises here instead of corrupting a sweep,
+    # so the recovery branch above fires at the first bad arithmetic.
+    with config.numerical_tripwire():
         row_scales = _kkt_equilibration(rhs_vec_tt, status)
         lhs_p, rhs_p = _apply_equilibration(lhs_matrix_tt, rhs_vec_tt, row_scales)
         delta = _solve_kkt(solver, lhs_p, rhs_p, status)
@@ -505,14 +526,6 @@ def _tt_ipm_newton_step(
         x_step, z_step = _tt_get_step_sizes(
             X_tt, Z_tt, T_tt, dX, dZ, dT, ineq_mask, status
         )
-    except Exception as e:
-        # Total-function recovery (parity :691-695): AmenToleranceReached,
-        # AmenRestartsExhausted and numerical failures all route the outer
-        # loop into its PSD-boundary / finishing branch.
-        print(f"\n\tAttention: {e}")
-        traceback.print_exc(file=sys.stdout)
-        return 0, 0, None, None, None, None, status
-
     return x_step, z_step, dX, dY, dZ, dT, status
 
 
