@@ -109,6 +109,34 @@ def test_fused_amen_solves_kkt_system():
     assert rn2 < rhs.norm
 
 
+def test_fused_device_loop_matches_host_loop():
+    """The whole-solve device program (_solve_program: warmup + peeled
+    sweeps + lax.while_loop pairs + finisher, one dispatch per solve) must
+    reach the same residual quality as the host sweep loop."""
+    from ttipm_tpu import config
+    from ttipm_tpu.solvers.fused import tt_block_amen_fused
+
+    rng = np.random.RandomState(1)
+    d = 3
+    lhs, rhs = _make_kkt_system(d, rng)
+
+    x_h, _ = tt_block_amen_fused(lhs, rhs, 1e-8, R=12, ineq=False,
+                                 nswp=12, seed=3)
+    config.set_fused_whole_solve(True)
+    try:
+        x_d, _ = tt_block_amen_fused(lhs, rhs, 1e-8, R=12, ineq=False,
+                                     nswp=12, seed=3)
+    finally:
+        config.set_fused_whole_solve(None)
+
+    A = _prep_operator(lhs, d, ineq=False)
+    b = _prep_rhs(rhs, d, ineq=False)
+    rn_h = _fused_residual_norm(A, b, x_h, ineq=False)
+    rn_d = _fused_residual_norm(A, b, x_d, ineq=False)
+    assert rn_d / rhs.norm < 1e-6
+    assert rn_d < max(10 * rn_h, 1e-6 * rhs.norm)
+
+
 def test_fused_max_generalised_eigen_matches_dense():
     rng = np.random.RandomState(2)
     d = 3

@@ -137,6 +137,25 @@ def offload_fetch(tree):
     return jax.device_put(tree, jax.devices()[0])
 
 
+# Whole-solve device loop for the fused AMEn (solvers/fused.py
+# ::_solve_program): the multi-sweep solve runs as ONE program with an
+# on-device lax.while_loop termination test.  None = auto (enabled exactly
+# when offload is active, where per-program load cost over the tunnel
+# dominates); True/False force it either way.
+_FUSED_WHOLE_SOLVE: bool | None = None
+
+
+def set_fused_whole_solve(flag) -> None:
+    global _FUSED_WHOLE_SOLVE
+    _FUSED_WHOLE_SOLVE = None if flag is None else bool(flag)
+
+
+def fused_whole_solve() -> bool:
+    if _FUSED_WHOLE_SOLVE is None:
+        return _OFFLOAD_DEVICE is not None
+    return _FUSED_WHOLE_SOLVE
+
+
 # --- Fused fixed-rank KKT solver (solvers/fused.py) ------------------------
 #
 # When enabled, the IPM routes its Newton solves through the fused

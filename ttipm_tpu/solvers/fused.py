@@ -579,6 +579,62 @@ def _sweep_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb,
 
 
 # ---------------------------------------------------------------------------
+# Whole-solve program: the ENTIRE multi-sweep AMEn solve as ONE jitted
+# program (warmup + peeled lead-in sweeps + a lax.while_loop over sweep
+# pairs + a finishing sweep).  Motivation (SURVEY.md §7 hard-part #1,
+# measured 2026-08-19): on the tunneled TPU each *distinct* program costs
+# ~18s to load even on a persistent-cache hit, so the per-sweep program
+# (one load per (direction, solve, shape) signature) made a d3 solve
+# program-load-bound.  Collapsing the sweep loop on-device leaves one
+# program per (rank rung, shape signature) and one dispatch per solve.
+#
+# Shape mechanics: bond ranks oscillate caps -> caps+kick after the first
+# solving sweep (the AMEn enrichment), so the while_loop carry is only
+# shape-invariant from the third sweep on; the warmup and the first two
+# solving sweeps are peeled out of the loop.  Termination (res < tol,
+# dx < eps, sweep cap) moves on-device into the while condition, at
+# sweep-pair granularity — at most one extra sweep vs the host loop.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ineq", "caps_bck", "caps_fwd", "kick",
+                                   "dir0", "max_pairs"))
+def _solve_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb, term_tol, eps,
+                   ineq: bool, caps_bck: tuple, caps_fwd: tuple, kick: int,
+                   dir0: int, max_pairs: int):
+    def _caps(direction):
+        return caps_bck if direction > 0 else caps_fwd
+
+    def sweep(st, direction, solve):
+        out = _sweep_program(
+            A, b, *st, ineq=ineq, caps=_caps(direction), kick=kick,
+            solve=solve, direction=direction,
+        )
+        return out[:6], out[6], out[7]
+
+    st = (x_cores, z_cores, XAX, Xb, ZAX, Zb)
+    st, _, _ = sweep(st, dir0, solve=False)          # warmup
+    st, res, dx = sweep(st, -dir0, solve=True)       # peel: widens to +kick
+    st, res, dx = sweep(st, dir0, solve=True)        # peel: carry fixed point
+
+    def cond(carry):
+        _, res_c, dx_c, k = carry
+        return (k < max_pairs) & (res_c >= term_tol) & (dx_c >= eps)
+
+    def body(carry):
+        st_c, _, _, k = carry
+        st_1, r1, d1 = sweep(st_c, -dir0, solve=True)
+        st_2, r2, d2 = sweep(st_1, dir0, solve=True)
+        return (st_2, jnp.minimum(r1, r2), jnp.minimum(d1, d2), k + 1)
+
+    st, res, dx, _ = jax.lax.while_loop(
+        cond, body, (st, res, dx, jnp.zeros((), dtype=jnp.int32))
+    )
+    st, _, _ = sweep(st, -dir0, solve=False)         # finisher: back to caps
+    return (*st, res, dx)
+
+
+# ---------------------------------------------------------------------------
 # Global residual ||b - Ax|| by direct multi-train contraction (no TT
 # arithmetic, no rounding): ||b-Ax||^2 = sum_i [ <b_i,b_i>
 #   - 2 sum_t <b_i, t> + sum_{t,t'} <t,t'> ] over the row terms t = A_ij x_j.
@@ -904,6 +960,28 @@ def tt_block_amen_fused(
     from ttipm_tpu.ops import jacobi as _jacobi
 
     _trace_ctx = (lambda: _jacobi.forced(True)) if offloaded else nullcontext
+
+    # Device-resident whole-solve path: one program, one dispatch.  Default
+    # on when offloading to a (remote) accelerator, where per-program load
+    # cost dominates; selectable everywhere via config.set_fused_whole_solve.
+    if config.fused_whole_solve() and nswp >= 4:
+        max_pairs = max(0, (nswp - 4) // 2)
+        with _trace_ctx():
+            (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _solve_program(
+                A, b, tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
+                tuple(ZAX), tuple(Zb),
+                jnp.asarray(term_tol, dtype=config.dtype()),
+                jnp.asarray(eps, dtype=config.dtype()),
+                ineq=ineq, caps_bck=tuple(caps_bck), caps_fwd=tuple(caps_fwd),
+                kick=kick_rank, dir0=direction, max_pairs=max_pairs,
+            )
+        final_res = float(res_d)
+        if verbose:
+            print(f"\t[fused R={R} device-loop] res {final_res:.3e} "
+                  f"dx {float(dx_d):.3e}", flush=True)
+        if offloaded:
+            x_cores = config.offload_fetch(tuple(x_cores))
+        return list(x_cores), final_res
 
     last = False
     final_res = np.inf

@@ -82,10 +82,12 @@ def _pencil_solve(MA, MD, prev_vec, alpha, tol):
     residual in the updated pencil.  Returns (x, alpha_new, old_res)."""
     M = MA / alpha + MD
     lam, x = _smallest_eigpair(M)
+    # branch outputs cast to the operand dtype: under the f32 profile a
+    # host-float alpha otherwise traces one branch f64 and the other f32
     alpha_new = jax.lax.cond(
         lam < 0,
-        lambda _: _shrink_alpha(MA, MD, alpha, tol),
-        lambda _: alpha,
+        lambda _: _shrink_alpha(MA, MD, alpha, tol).astype(MA.dtype),
+        lambda _: jnp.asarray(alpha, dtype=MA.dtype),
         None,
     )
     denom = jnp.where(alpha_new > 0, alpha_new, 1.0)
