@@ -95,3 +95,40 @@ def test_min_eig_diag_operator():
     Md = np.asarray(tt_matrix_to_matrix(M))
     true_min = Md.min()
     assert abs(val - true_min) < 1e-5
+
+
+def test_lobpcg_window_adversarial_near_diagonal_gate_boundary():
+    """Adversarial k=1 lock-on at the dense-gate boundary (m=512, above
+    _DENSE_EIG_DIRECT=256, below the rescue ceiling): a NEAR-DIAGONAL
+    projected operator and a warm start that is EXACTLY an interior
+    eigenvector.  Without the random-mixing guard LOBPCG terminates
+    immediately on the interior pair's tiny residual; the window solve
+    must still return the extremal eigenvalue."""
+    from ttipm_tpu.solvers.eigen import _DENSE_EIG_DIRECT, lobpcg_window
+
+    rng = np.random.RandomState(7)
+    l = L = 8
+    nm = 8
+    m = l * nm * L
+    assert m > _DENSE_EIG_DIRECT
+
+    # phi_l = phi_r = identity interfaces; A_k near-diagonal with one
+    # well-separated smallest eigenvalue and a tiny symmetric coupling.
+    eye = np.zeros((l, 1, l))
+    eye[:, 0, :] = np.eye(l)
+    diag = np.linspace(1.0, 2.0, nm)
+    diag[3] = 0.1  # extremal, interior position
+    A_k = np.zeros((1, nm, nm, 1))
+    A_k[0, :, :, 0] = np.diag(diag)
+    coup = rng.randn(nm, nm) * 1e-9
+    A_k[0, :, :, 0] += coup + coup.T
+
+    ops = (jnp.asarray(eye), jnp.asarray(A_k), jnp.asarray(eye))
+
+    # warm start: exactly the eigenvector of an interior eigenvalue
+    x0 = np.zeros((l, nm, L))
+    x0[0, 5, 0] = 1.0
+
+    lam, x, res = lobpcg_window("w1", ops, jnp.asarray(x0), tol=1e-8,
+                                maxiter=600)
+    assert abs(lam - 0.1) < 1e-4, f"locked onto non-extremal pair: {lam}"

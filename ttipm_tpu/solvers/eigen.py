@@ -193,6 +193,15 @@ def _lobpcg_fused(kind, ops, x0, tol, maxiter, alpha):
     nrm = jnp.linalg.norm(x)
     x = jnp.where(nrm > 0, x / jnp.maximum(nrm, TINY),
                   jnp.ones_like(x) / np.sqrt(n))
+    # k=1 lock-on guard: a warm start that is EXACTLY an interior
+    # eigenvector has zero overlap with the extremal one and LOBPCG would
+    # terminate on its (tiny) residual at the wrong pair.  Mixing a small
+    # deterministic random component guarantees nonzero overlap — the
+    # a.s.-convergence argument for random initialisation — at the cost of
+    # a few extra iterations on already-converged warm starts.
+    noise = jax.random.normal(jax.random.PRNGKey(n), (n,), dtype=x.dtype)
+    x = x + 1e-3 * noise / jnp.maximum(jnp.linalg.norm(noise), TINY)
+    x = x / jnp.maximum(jnp.linalg.norm(x), TINY)
     bx = bmv(x)
     x = x / jnp.sqrt(jnp.abs(jnp.vdot(x, bx)) + TINY)
     p = jnp.zeros_like(x)
