@@ -56,6 +56,14 @@ def _rayleigh_ritz_smallest(W, AW, BW):
     inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, eb, 1.0)), 0.0)
     T = Ub * inv_sqrt[None, :]
     H = T.T @ (0.5 * (G_a + G_a.T)) @ T
+    # Dropped null directions leave exact-zero rows/cols in H — spurious
+    # 0-Ritz-values that win the argmin on PSD operators and return the
+    # ZERO vector (lam=0, res=0 — false convergence).  Penalise them off
+    # the bottom of the spectrum instead.
+    penalty = (1.0 - keep.astype(H.dtype)) * (
+        2.0 * jnp.max(jnp.abs(G_a)) + 1.0
+    )
+    H = H + jnp.diag(penalty)
     ev, Uv = safe_eigh(H)
     c = T @ Uv[:, 0]
     return ev[0], W @ c
@@ -178,16 +186,9 @@ def _lobpcg_fused(kind, ops, x0, tol, maxiter, alpha):
     n = x0.size
 
     def rr(W, AW, BW):
-        G_a = W.T @ AW
-        G_b = W.T @ BW
-        eb, Ub = safe_eigh(0.5 * (G_b + G_b.T))
-        keep = eb > 1e-12 * jnp.max(jnp.abs(eb))
-        inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, eb, 1.0)), 0.0)
-        T = Ub * inv_sqrt[None, :]
-        H = T.T @ (0.5 * (G_a + G_a.T)) @ T
-        ev, Uv = safe_eigh(H)
-        c = T @ Uv[:, 0]
-        return ev[0], W @ c
+        # delegate to the shared Rayleigh-Ritz (incl. the dropped-direction
+        # penalty that prevents spurious 0-Ritz-values on PSD operators)
+        return _rayleigh_ritz_smallest(W, AW, BW)
 
     x = x0.reshape(-1)
     nrm = jnp.linalg.norm(x)
