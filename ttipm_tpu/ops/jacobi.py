@@ -280,7 +280,7 @@ def fast_split_svd(a, full_matrices: bool = False):
     exact and u exactly orthonormal on both paths; only the ordering of
     near-equal singular values differs at f32 resolution."""
     assert not full_matrices
-    if not _use_jacobi():
+    if not _use_jacobi(a.dtype):
         return jnp.linalg.svd(a, full_matrices=False)
     return jacobi_svd_fast(a)
 
@@ -293,7 +293,7 @@ def safe_svd(a, full_matrices: bool = False):
     to arithmetic precision, s >= 0 descending.  vt rows at s == 0 are
     zero rather than orthonormal completions."""
     assert not full_matrices, "safe_svd supports full_matrices=False only"
-    if not _use_jacobi():
+    if not _use_jacobi(a.dtype):
         return jnp.linalg.svd(a, full_matrices=False)
     return jacobi_svd(a)
 
@@ -390,7 +390,7 @@ def jacobi_eigh(a):
 def safe_eigh(a):
     """Drop-in for ``jnp.linalg.eigh`` of a real symmetric matrix that
     cannot NaN on v5e f64 (two-sided Jacobi on TPU, LAPACK on CPU)."""
-    if not _use_jacobi():
+    if not _use_jacobi(a.dtype):
         return jnp.linalg.eigh(a)
     return jacobi_eigh(a)
 
@@ -407,7 +407,14 @@ def force_jacobi(flag):
     _FORCE_JACOBI = flag
 
 
-def _use_jacobi() -> bool:
+def _use_jacobi(dtype=None) -> bool:
+    # The Jacobi kernels exist because the TPU's QDWH svd/eigh NaN under
+    # f32-pair f64 EMULATION; native f32 lowerings are TPU-safe and their
+    # HLO is ~10x smaller (measured: a 6-sweep fused solve program took
+    # 19 min to compile with in-kernel Jacobi rotation loops).  So f32
+    # operands always take the native path, even under force.
+    if dtype is not None and jnp.dtype(dtype) != jnp.float64:
+        return False
     if _FORCE_JACOBI is not None:
         return _FORCE_JACOBI
     return jax.default_backend() == "tpu"

@@ -760,7 +760,8 @@ def _prep_operator(block_A, d: int, ineq: bool) -> Dict[str, List[jax.Array]]:
         else:
             ra = _uniform_key_rank(cores)
             ranks = [ra] * (d - 1)
-        out[sk] = [jnp.asarray(c) for c in _pad_train(cores, ranks)]
+        out[sk] = [jnp.asarray(c, dtype=config.dtype())
+                   for c in _pad_train(cores, ranks)]
     return out
 
 
@@ -777,7 +778,7 @@ def _prep_rhs(block_b, d: int, ineq: bool) -> List[List[jax.Array]]:
             cores = _np_cores(row)
             rb = _uniform_key_rank(cores)
             cores = _pad_train(cores, [rb] * (d - 1))
-        rows.append([jnp.asarray(c) for c in cores])
+        rows.append([jnp.asarray(c, dtype=config.dtype()) for c in cores])
     return rows
 
 
@@ -853,7 +854,7 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
         if finite:
             try:
                 cores = _np_svd_retract(np_cores, caps)
-                return [jnp.asarray(c) for c in cores]
+                return [jnp.asarray(c, dtype=config.dtype()) for c in cores]
             except np.linalg.LinAlgError:
                 pass  # pathological warm start -> fresh Gaussian below
     if direction > 0:
@@ -868,7 +869,7 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
         cores = [rng.randn(1, bs, 4, caps[0] if d > 1 else 1)] + tail
     nrm = np.sqrt(sum(float(np.sum(c**2)) for c in cores))
     cores = [c / max(nrm, TINY) ** (1.0 / d) for c in cores]
-    return [jnp.asarray(np.asarray(c, dtype=np.float64)) for c in cores]
+    return [jnp.asarray(c, dtype=config.dtype()) for c in cores]
 
 
 def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng) -> List[jax.Array]:
@@ -880,7 +881,7 @@ def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng) -> List[jax.Array]
             c = rng.randn(rl, bs, 4, rr) / (4 * bs * kick**2)
         else:
             c = rng.randn(rl, 4, rr) / (4 * kick**2)
-        cores.append(jnp.asarray(np.asarray(c, dtype=np.float64)))
+        cores.append(jnp.asarray(c, dtype=config.dtype()))
     return cores
 
 
