@@ -898,6 +898,25 @@ def _boundary_phis(A, b, ineq: bool):
 # Driver
 # ---------------------------------------------------------------------------
 
+def _dispatch_retry(fn, /, *args, **kwargs):
+    """Retry transient remote-compile failures (tunneled TPU: the compile
+    service round-robins across helper processes and a misconfigured
+    instance SIGABRTs; a retry usually lands on a healthy one)."""
+    import time as _time
+
+    attempts = 4
+    for i in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except jax.errors.JaxRuntimeError as e:
+            transient = ("remote_compile" in str(e)
+                         or "DEADLINE_EXCEEDED" in str(e))
+            if not transient or i == attempts - 1:
+                raise
+            print(f"\t[fused] transient compile failure, retry {i + 1}: "
+                  f"{str(e)[:90]}", flush=True)
+            _time.sleep(2.0 * (i + 1))
+
 def tt_block_amen_fused(
     block_A,
     block_b,
@@ -968,7 +987,8 @@ def tt_block_amen_fused(
     if config.fused_whole_solve() and nswp >= 4:
         max_pairs = max(0, (nswp - 4) // 2)
         with _trace_ctx():
-            (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _solve_program(
+            (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _dispatch_retry(
+                _solve_program,
                 A, b, tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
                 tuple(ZAX), tuple(Zb),
                 jnp.asarray(term_tol, dtype=config.dtype()),
@@ -991,7 +1011,8 @@ def tt_block_amen_fused(
         solve = (swp > 0) and not last
         caps = tuple(caps_bck if direction > 0 else caps_fwd)
         with _trace_ctx():
-            (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _sweep_program(
+            (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _dispatch_retry(
+                _sweep_program,
                 A, b, tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
                 tuple(ZAX), tuple(Zb),
                 ineq=ineq, caps=caps, kick=kick_rank, solve=solve,
