@@ -84,3 +84,28 @@ def test_safe_eigh_gallery():
                 1.0, np.abs(wref).max()
             )
             assert np.max(np.abs(v.T @ v - np.eye(n))) < 1e-12
+
+
+def test_gram_split_svd_contract():
+    """The f32-TPU Gram-eigh split (used because jnp.linalg.svd crashes
+    the v5e compiler at small narrow shapes): u exactly orthonormal,
+    u @ (s*vt) == a to f32 precision, s descending and f32-accurate."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ttipm_tpu.ops.jacobi import _gram_split_svd
+
+    rng = np.random.RandomState(0)
+    for shape in [(32, 12), (12, 32), (96, 20), (7, 7), (1, 5), (5, 1)]:
+        a = jnp.asarray(rng.randn(*shape), dtype=jnp.float32)
+        u, s, vt = _gram_split_svd(a)
+        k = min(shape)
+        assert u.shape == (shape[0], k) and vt.shape == (k, shape[1])
+        rec = float(jnp.max(jnp.abs(u @ (s[:, None] * vt) - a)))
+        orth = float(jnp.max(jnp.abs(u.T @ u - jnp.eye(k, dtype=a.dtype))))
+        assert rec < 1e-5, shape
+        assert orth < 1e-5, shape
+        s_np = np.asarray(s)
+        assert (np.diff(s_np) <= 1e-6).all(), "s not descending"
+        sref = np.linalg.svd(np.asarray(a, dtype=np.float64), compute_uv=False)
+        assert np.max(np.abs(s_np - sref)) / max(sref[0], 1e-9) < 1e-5

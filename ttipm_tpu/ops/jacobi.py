@@ -274,26 +274,60 @@ def jacobi_svd_fast(a):
     return u, s * scale, vt
 
 
+def _gram_split_svd(a):
+    """f32 TPU split SVD via the Gram eigendecomposition + exact QR
+    completion: eigh/qr lower to known-good TPU programs, whereas the
+    native ``jnp.linalg.svd`` lowering SIGABRTs the v5e compiler at small
+    narrow shapes (measured: (32,12) f32 crashes, (96,96) compiles).
+
+    Same contract as jacobi_svd_fast: u exactly orthonormal,
+    u @ (s*vt) == a to arithmetic precision (the factorization is the
+    exact projection u (u^T a)), only the SINGULAR-VALUE ESTIMATES carry
+    the Gram squaring's accuracy loss (~sqrt(eps_f32) for the smallest),
+    which split-rank decisions tolerate."""
+    m, n = a.shape
+    transpose = m < n
+    at = a.T if transpose else a            # (M, N), M >= N
+    G = at.T @ at                            # (N, N) Gram
+    w, V = jnp.linalg.eigh(0.5 * (G + G.T))  # ascending
+    w = jnp.flip(w, axis=0)
+    V = jnp.flip(V, axis=1)
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    B = at @ V                               # columns ~ U * s, spans range(at)
+    q, _ = jnp.linalg.qr(B, mode="reduced")  # exactly orthonormal
+    coeff = q.T @ at                         # u @ coeff == at exactly
+    vt = coeff / jnp.maximum(s, TINY)[:, None]
+    if transpose:
+        # at = q @ (s*vt)  =>  a = (s*vt).T @ q.T = vt.T * s @ q.T
+        return vt.T, s, q.T
+    return q, s, vt
+
+
 def fast_split_svd(a, full_matrices: bool = False):
     """SVD for fixed-rank basis splits (fused sweeps): LAPACK on CPU, the
-    mixed-precision Jacobi pipeline on TPU.  The split u @ (s*vt) == a is
-    exact and u exactly orthonormal on both paths; only the ordering of
-    near-equal singular values differs at f32 resolution."""
+    mixed-precision Jacobi pipeline on TPU f64, the Gram-eigh split on
+    TPU f32.  The split u @ (s*vt) == a is exact and u exactly orthonormal
+    on every path; only the ordering of near-equal singular values differs
+    at f32 resolution."""
     assert not full_matrices
     if not _use_jacobi(a.dtype):
+        if _targets_tpu():
+            return _gram_split_svd(a)
         return jnp.linalg.svd(a, full_matrices=False)
     return jacobi_svd_fast(a)
 
 
 def safe_svd(a, full_matrices: bool = False):
     """Drop-in for ``jnp.linalg.svd(a, full_matrices=False)`` that cannot
-    NaN on v5e f64 emulation.  On CPU this is LAPACK; on TPU a one-sided
-    Jacobi factorization (see module docstring).  Contract: u orthonormal
-    (exactly, including nullspace directions), u @ (s[:, None] * vt) == a
-    to arithmetic precision, s >= 0 descending.  vt rows at s == 0 are
-    zero rather than orthonormal completions."""
+    NaN on v5e f64 emulation (Jacobi) and cannot crash the v5e compiler
+    at f32 (Gram-eigh split).  On CPU this is LAPACK.  Contract: u
+    orthonormal (exactly, including nullspace directions),
+    u @ (s[:, None] * vt) == a to arithmetic precision, s >= 0 descending.
+    vt rows at s == 0 are zero rather than orthonormal completions."""
     assert not full_matrices, "safe_svd supports full_matrices=False only"
     if not _use_jacobi(a.dtype):
+        if _targets_tpu():
+            return _gram_split_svd(a)
         return jnp.linalg.svd(a, full_matrices=False)
     return jacobi_svd(a)
 
@@ -405,6 +439,14 @@ def force_jacobi(flag):
     restores backend auto-detection."""
     global _FORCE_JACOBI
     _FORCE_JACOBI = flag
+
+
+def _targets_tpu() -> bool:
+    """Whether traced programs will run on a TPU (honours the force hook,
+    which the offload trace context and CI coverage set)."""
+    if _FORCE_JACOBI is not None:
+        return _FORCE_JACOBI
+    return jax.default_backend() == "tpu"
 
 
 def _use_jacobi(dtype=None) -> bool:
