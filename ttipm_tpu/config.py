@@ -33,6 +33,11 @@ def set_dtype(dtype) -> None:
         _DTYPE, _EPS_FLOOR = jnp.float64, 0.0
     elif dtype == jnp.float32:
         _DTYPE, _EPS_FLOOR = jnp.float32, 1e-7
+        # TPU f32 matmuls otherwise lower to bf16 passes; the Schur
+        # assembly/factorization chain NaNs at bf16 accuracy (measured:
+        # on-chip device-loop res=nan at default precision, converges at
+        # HIGHEST).  ~1/3 MXU peak, still ~20x the f64 emulation.
+        jax.config.update("jax_default_matmul_precision", "highest")
     else:
         raise ValueError(f"unsupported TT dtype {dtype}")
 

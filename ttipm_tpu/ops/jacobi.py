@@ -289,8 +289,15 @@ def _gram_split_svd(a):
     transpose = m < n
     at = a.T if transpose else a            # (M, N), M >= N
     G = at.T @ at                            # (N, N) Gram
-    w, V = jnp.linalg.eigh(0.5 * (G + G.T))  # ascending
-    w = jnp.flip(w, axis=0)
+    # Diagonal shift before eigh: the TPU QDWH lowering is fragile on
+    # exact-zero columns / clustered tiny eigenvalues (the padded TT
+    # sweeps produce both routinely; the f64 variant NaN'd on these,
+    # round-1 probes).  A shift leaves the eigenvectors unchanged and is
+    # subtracted from the eigenvalue estimates afterwards.
+    N = G.shape[0]
+    delta = jnp.trace(G) / N * 1e-6 + TINY
+    w, V = jnp.linalg.eigh(0.5 * (G + G.T) + delta * jnp.eye(N, dtype=G.dtype))
+    w = jnp.flip(w, axis=0) - delta
     V = jnp.flip(V, axis=1)
     s = jnp.sqrt(jnp.maximum(w, 0.0))
     B = at @ V                               # columns ~ U * s, spans range(at)

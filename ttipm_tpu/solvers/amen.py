@@ -699,6 +699,13 @@ def tt_restarted_block_amen(
         x0 = tt_rank_retraction(list(x0), [dim] * (dim - 1))
 
     def solve_als(rhs, rank, start, iters, kick):
+        # Ragged sweeps mint fresh shapes continuously; long d>=12 solves
+        # crossed vm.max_map_count (LLVM-ORC pins ~9 mmaps per program)
+        # and SIGSEGV'd mid-AMEn, so the pressure guard must also run
+        # here, not just once per IPM iteration (config.py:221-236).
+        from ttipm_tpu import config as _config
+
+        _config.maybe_relieve_map_pressure()
         return tt_block_amen(
             block_A, rhs, termination_tol, r_max=rank, eps=eps, nswp=iters,
             x0=start, local_solver=local_solver, kick_rank=kick, amen=True,

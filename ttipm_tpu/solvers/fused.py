@@ -904,7 +904,7 @@ def _dispatch_retry(fn, /, *args, **kwargs):
     instance SIGABRTs; a retry usually lands on a healthy one)."""
     import time as _time
 
-    attempts = 4
+    attempts = 8
     for i in range(attempts):
         try:
             return fn(*args, **kwargs)
@@ -915,7 +915,7 @@ def _dispatch_retry(fn, /, *args, **kwargs):
                 raise
             print(f"\t[fused] transient compile failure, retry {i + 1}: "
                   f"{str(e)[:90]}", flush=True)
-            _time.sleep(2.0 * (i + 1))
+            _time.sleep(min(5.0 * (i + 1), 30.0))
 
 def tt_block_amen_fused(
     block_A,
