@@ -82,7 +82,7 @@ def main() -> int:
 
     import jax
 
-    offload = platform == "offload"
+    offload = platform in ("offload", "offload-f32")
     if offload:
         # heterogeneous mode: host orchestration + cheap TT algebra on the
         # local CPU backend, fused sweep/eigen programs on the TPU
@@ -95,6 +95,12 @@ def main() -> int:
     ttipm_config.enable_persistent_cache()
     if offload:
         ttipm_config.set_offload("axon")
+    if platform == "offload-f32":
+        # TPU performance profile: MXU-native f32 (highest matmul
+        # precision), whole-solve device loop, eps floors rescaled
+        import jax.numpy as jnp
+
+        ttipm_config.set_dtype(jnp.float32)
 
     all_ok = True
     times = []
