@@ -598,10 +598,10 @@ def _sweep_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb,
 
 
 @partial(jax.jit, static_argnames=("ineq", "caps_bck", "caps_fwd", "kick",
-                                   "dir0", "max_pairs"))
+                                   "dir0", "max_pairs", "debug"))
 def _solve_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb, term_tol, eps,
                    ineq: bool, caps_bck: tuple, caps_fwd: tuple, kick: int,
-                   dir0: int, max_pairs: int):
+                   dir0: int, max_pairs: int, debug: bool = False):
     def _caps(direction):
         return caps_bck if direction > 0 else caps_fwd
 
@@ -612,10 +612,16 @@ def _solve_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb, term_tol, eps,
         )
         return out[:6], out[6], out[7]
 
+    def _xn(st):
+        return sum(jnp.sum(c * c) for c in st[0])
+
     st = (x_cores, z_cores, XAX, Xb, ZAX, Zb)
     st, _, _ = sweep(st, dir0, solve=False)          # warmup
+    diag = [_xn(st)]
     st, res, dx = sweep(st, -dir0, solve=True)       # peel: widens to +kick
+    diag += [res, _xn(st)]
     st, res, dx = sweep(st, dir0, solve=True)        # peel: carry fixed point
+    diag += [res, _xn(st)]
 
     def cond(carry):
         _, res_c, dx_c, k = carry
@@ -631,6 +637,11 @@ def _solve_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb, term_tol, eps,
         cond, body, (st, res, dx, jnp.zeros((), dtype=jnp.int32))
     )
     st, _, _ = sweep(st, -dir0, solve=False)         # finisher: back to caps
+    if debug:
+        # staged scalars: |x|^2 after warmup, res/|x|^2 after each peel —
+        # the only NaN-localisation that works on-chip (standalone stage
+        # probes crash the tunneled compile service; this program compiles)
+        return (*st, res, dx, jnp.stack(diag))
     return (*st, res, dx)
 
 
