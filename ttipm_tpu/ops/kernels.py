@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["kkt_block_matvec", "kkt_block_matvec_xla"]
+__all__ = ["kkt_block_matvec", "kkt_block_matvec_xla",
+           "schur_assemble", "schur_assemble_xla"]
 
 
 def kkt_block_matvec_xla(phi_l, A_core, phi_r, x):
@@ -72,3 +73,54 @@ def kkt_block_matvec(phi_l, A_core, phi_r, x, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((l, m, L), x.dtype),
         interpret=interpret,
     )(phi_l, A_core, phi_r, x)
+
+
+# ---------------------------------------------------------------------------
+# Schur assembly kernel: B[(l,m,L),(r,n,R)] = phi_l[l,s,r] A[s,m,n,S]
+# phi_r[L,S,R] — the hottest contraction of the fused local solves
+# (solvers/fused.py::_proj; reference hot loop cy_src/lgmres_cy.pyx:126-153).
+#
+# Design: stage 1 (the s-contraction) is tiny and runs in XLA outside;
+# the kernel fuses the big S-contraction matmul WITH the 6-D Kronecker
+# interleave that XLA otherwise materialises as a separate full-output
+# relayout pass over HBM (134 MB in f64 at R=32).
+# ---------------------------------------------------------------------------
+
+
+def schur_assemble_xla(phi_l, A_core, phi_r):
+    """Reference XLA path (one einsum + reshape)."""
+    m = phi_l.shape[0] * A_core.shape[1] * phi_r.shape[0]
+    return jnp.einsum("lsr,smnS,LSR->lmLrnR", phi_l, A_core, phi_r).reshape(m, m)
+
+
+def _schur_kernel(w_ref, p_ref, o_ref, *, l, n, r, L, R):
+    t = jnp.dot(w_ref[:], p_ref[:], preferred_element_type=jnp.float32)
+    t = t.reshape(l, n, r, n, L, R)          # (l, m, r, n, L, R)
+    t = jnp.transpose(t, (0, 1, 4, 2, 3, 5))  # -> (l, m, L, r, n, R)
+    o_ref[:] = t.reshape(l * n * L, r * n * R)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def schur_assemble(phi_l, A_core, phi_r, interpret: bool = False):
+    """Pallas Schur assembly: one MXU matmul + in-kernel interleave.
+
+    Returns B as (l*m*L, r*n*R) like schur_assemble_xla.  f32 is the
+    production dtype (the fused TPU profile); other dtypes are cast in
+    and the result cast back.
+    """
+    l, s, r = phi_l.shape
+    _, mdim, n, S = A_core.shape
+    L, _, R = phi_r.shape
+    assert mdim == n
+    dt = phi_l.dtype
+    W = jnp.einsum("lsr,smnS->lmrnS", phi_l, A_core)          # stage 1 (XLA)
+    Wf = W.reshape(l * mdim * r * n, S).astype(jnp.float32)
+    Pf = jnp.transpose(phi_r, (1, 0, 2)).reshape(S, L * R).astype(jnp.float32)
+    msize = l * mdim * L
+    nsize = r * n * R
+    out = pl.pallas_call(
+        functools.partial(_schur_kernel, l=l, n=n, r=r, L=L, R=R),
+        out_shape=jax.ShapeDtypeStruct((msize, nsize), jnp.float32),
+        interpret=interpret,
+    )(Wf, Pf)
+    return out.astype(dt)
