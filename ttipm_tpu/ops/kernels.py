@@ -8,15 +8,26 @@ transpose-reshapes (parity: /root/reference/cy_src/lgmres_cy.pyx:126-153,
 kernel holding every operand in VMEM and driving the same three-matmul
 chain through the MXU.
 
-Status: validated in interpret mode (the test suite checks it against
-the fused-einsum XLA path).  On the real TPU, Mosaic currently rejects
-this kernel: the chain needs either multi-dim-contracting matmuls
-("lhs contracting dims must be of size 1") or 4-D relayout transposes
-between the dgemms, neither of which Mosaic supports for these small
-unaligned shapes.  ``kkt_block_matvec_xla`` — the same contraction as one
-fused einsum — is therefore the production TPU path (XLA:TPU maps it onto
-the MXU directly); the Pallas variant is kept as the starting point for a
-tiled VMEM-resident version once shapes are padded to (8,128) lanes.
+Status of the contraction kernels: validated in interpret mode (the test
+suite checks them against the fused-einsum XLA path).  On the real TPU,
+Mosaic rejects both — measured op-by-op on a v5e (2026-08-19, probe
+scripts under /tmp/chip_jobs): in-kernel cross-lane reshapes
+((1,1024)->(32,32) and (6,32,32)->(6,1024)) and >2-D relayout transposes
+are refused, while 2-D dots (even small/unaligned, e.g. (24,40)@(40,48)),
+2-D transposes, lead-dim indexing with scalar*2-D accumulation, and
+cross-lane reductions all compile and run.  The Kronecker interleave
+``lmrn,LR -> (lmL),(rnR)`` is exactly a cross-lane relayout, so the fused
+einsum (``*_xla``) stays the production TPU path for these contractions —
+XLA:TPU maps them onto the MXU directly and fuses the relayout epilogue.
+
+``panel_qr`` below is the kernel that DOES fit Mosaic's op set: a
+VMEM-resident masked Householder QR for the (4r, r) bond panels that the
+rounding/orthogonalisation sweeps factorise hundreds of times per IPM
+iteration (reference hot path: tt_rl_orthogonalise,
+/root/reference/cy_src/tt_ops_cy.pyx:132-159).  XLA:TPU's blocked
+Householder QR at these sizes costs ~1 ms on a v5e; the kernel keeps the
+panel in VMEM and uses only probe-validated ops (2-D reductions,
+broadcasts, masked rank-1 updates).
 """
 
 from __future__ import annotations
@@ -124,3 +135,106 @@ def schur_assemble(phi_l, A_core, phi_r, interpret: bool = False):
         interpret=interpret,
     )(Wf, Pf)
     return out.astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# Panel QR: VMEM-resident masked Householder factorization of a tall-skinny
+# bond panel.  TPU-legal by construction: every step is a 2-D reduction,
+# broadcast, or rank-1 update — no lane slicing, no cross-lane reshapes
+# (both Mosaic-rejected, see module docstring).  Columns are addressed with
+# one-hot masks built from broadcasted_iota; the column loop is unrolled at
+# trace time (n is static).
+# ---------------------------------------------------------------------------
+
+
+def _panel_qr_kernel(a_ref, q_ref, r_ref, *, m, n):
+    f32 = a_ref.dtype
+    A = a_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    tiny = jnp.asarray(1e-30, f32)
+
+    vs = []
+    betas = []
+    for j in range(n):
+        oh_c = (col == j).astype(f32)              # (1, n) one-hot column j
+        oh_r = (row == j).astype(f32)              # (m, 1) one-hot row j
+        below = (row >= j).astype(f32)             # rows j..m-1
+        x = jnp.sum(A * oh_c, axis=1, keepdims=True)   # (m, 1) column j
+        xm = x * below
+        # all scalars kept (1, 1): Mosaic rejects 0-D intermediates
+        xj = jnp.sum(xm * oh_r, axis=0, keepdims=True)     # (1, 1) A[j, j]
+        sigma2 = jnp.sum(xm * xm, axis=0, keepdims=True)   # (1, 1)
+        sigma = jnp.sqrt(sigma2)
+        # branch-free selects: jnp.where on (1,1) operands SIGABRTs the
+        # v5e Mosaic compiler (probe-bisected 2026-08-19); comparison
+        # masks + arithmetic compile fine
+        sign = (xj >= 0).astype(f32) * 2.0 - 1.0
+        alpha = -sign * sigma                       # (1, 1)
+        v = xm - alpha * oh_r                      # (m, 1) reflector
+        vtv = jnp.sum(v * v, axis=0, keepdims=True)
+        beta = (vtv > tiny).astype(f32) * 2.0 / jnp.maximum(vtv, tiny)
+        w = jnp.sum(v * A, axis=0, keepdims=True)  # (1, n) = v^T A
+        A = A - (beta * v) * w                     # rank-1 update
+        vs.append(v)
+        betas.append(beta)
+
+    # R: the first n rows of the eliminated panel, exact zeros below diag
+    upper = (row < n).astype(f32)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (m, n), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)).astype(f32)
+    r_ref[:] = (A * tri * upper).astype(r_ref.dtype)
+
+    # Q (reduced): apply reflectors in reverse to the first n columns of I
+    Q = ((row == col) & (col < n)).astype(f32)     # (m, n) = I[:, :n]
+    for j in range(n - 1, -1, -1):
+        t = jnp.sum(vs[j] * Q, axis=0, keepdims=True)  # (1, n)
+        Q = Q - (betas[j] * vs[j]) * t
+    q_ref[:] = Q.astype(q_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def panel_qr(a, interpret: bool = False):
+    """Reduced QR of a tall panel via one VMEM-resident Pallas kernel.
+
+    Same contract as ``jnp.linalg.qr(a, mode="reduced")`` up to column
+    signs: q (m, n) with orthonormal columns, r (n, n) upper triangular,
+    q @ r == a.  Rows are padded to a multiple of 8 (zero rows pass
+    through Householder QR exactly: QR([A; 0]) == ([Q; 0], R)).
+    Intended envelope: the rounding sweeps' bond panels (m <= ~512,
+    n <= 128); falls back to jnp.linalg.qr outside it via qr_reduced.
+    """
+    m, n = a.shape
+    mp = max(8, -(-m // 8) * 8)
+    ap = jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
+    q, r = pl.pallas_call(
+        functools.partial(_panel_qr_kernel, m=mp, n=n),
+        out_shape=(jax.ShapeDtypeStruct((mp, n), a.dtype),
+                   jax.ShapeDtypeStruct((mp, n), a.dtype)),
+        interpret=interpret,
+    )(ap)
+    return q[:m], r[:n]
+
+
+def qr_reduced(a, interpret: bool = False):
+    """Reduced QR dispatch: the Pallas panel kernel inside its validated
+    envelope on TPU-bound f32 traces, ``jnp.linalg.qr`` everywhere else."""
+    m, n = a.shape
+    if (a.dtype == jnp.float32 and m >= n and m <= 512 and n <= 128
+            and _panel_qr_enabled()):
+        return panel_qr(a, interpret=interpret)
+    q, r = jnp.linalg.qr(a, mode="reduced")
+    return q, r
+
+
+_PANEL_QR = False
+
+
+def set_panel_qr(flag: bool) -> None:
+    """Route qr_reduced through the Pallas panel kernel (TPU f32 profile)."""
+    global _PANEL_QR
+    _PANEL_QR = bool(flag)
+
+
+def _panel_qr_enabled() -> bool:
+    return _PANEL_QR
