@@ -85,6 +85,38 @@ def numerical_tripwire():
             yield
 
 
+# --- Mixed-precision local solves -------------------------------------------
+#
+# Under the f32 profile an all-f32 fused Newton solve is NOT accurate
+# enough: maxcut d3 stalls at slackness ~1e-2 after 21 iterations where
+# f64 local solves converge in 7 (bisected 2026-08-19 to the prep-dtype
+# cleanup that made the fused path genuinely f32).  The fix is SURVEY.md
+# §7 hard-part #2: factorize the dense Schur chain in f32 (MXU-native,
+# no f64-emulation QDWH fragility) and recover direction quality with
+# f64-residual iterative refinement (solvers/fused.py::_solve_local).
+
+_MIXED_LOCAL = "f64"
+
+
+def set_mixed_local(mode) -> None:
+    """'refine' = f32 factorization + f64-residual iterative refinement;
+    'f64' = full f64 local solve chain (cholesky/QR/triangular — all
+    TPU-emulation-safe lowerings, unlike svd/eigh); False/'off' = honest
+    f32.  Splits, phi updates, and sweep state stay f32 in every mode."""
+    global _MIXED_LOCAL
+    if mode in (False, None, "off"):
+        _MIXED_LOCAL = "off"
+    elif mode in (True, "refine"):
+        _MIXED_LOCAL = "refine"
+    else:
+        assert mode == "f64", mode
+        _MIXED_LOCAL = "f64"
+
+
+def mixed_local() -> str:
+    return _MIXED_LOCAL
+
+
 # --- Rank bucketing -------------------------------------------------------
 #
 # TT bond ranks are data-dependent, so every op sees a stream of new array
@@ -118,6 +150,13 @@ def set_offload(platform) -> None:
     import jax
 
     _OFFLOAD_DEVICE = jax.devices(platform)[0]
+    if _OFFLOAD_DEVICE.platform == "tpu":
+        # Route tall-panel QRs inside offloaded programs through the
+        # Pallas Householder kernel (ops/kernels.py::panel_qr): measured
+        # 8.1us vs 32.8us for XLA:TPU blocked QR at (128,32) f32 on v5e.
+        from ttipm_tpu.ops.kernels import set_panel_qr
+
+        set_panel_qr(True)
 
 
 def offload_device():

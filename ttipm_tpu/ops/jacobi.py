@@ -275,50 +275,74 @@ def jacobi_svd_fast(a):
 
 
 def _gram_split_svd(a):
-    """f32 TPU split SVD via the Gram eigendecomposition + exact QR
-    completion: eigh/qr lower to known-good TPU programs, whereas the
-    native ``jnp.linalg.svd`` lowering SIGABRTs the v5e compiler at small
-    narrow shapes (measured: (32,12) f32 crashes, (96,96) compiles).
+    """f32 split SVD via the Gram eigendecomposition: the basis factor
+    ``u`` is EXACTLY orthonormal on both branches and garbage-free at
+    zero singular values.
 
-    Same contract as jacobi_svd_fast: u exactly orthonormal,
-    u @ (s*vt) == a to arithmetic precision (the factorization is the
-    exact projection u (u^T a)), only the SINGULAR-VALUE ESTIMATES carry
-    the Gram squaring's accuracy loss (~sqrt(eps_f32) for the smallest),
-    which split-rank decisions tolerate."""
+    Why not the native lowering: on TPU, ``jnp.linalg.svd`` f32 SIGABRTs
+    the v5e compiler at small narrow shapes ((32,12) crashes, (96,96)
+    compiles); on CPU, XLA's f32 svd custom call returns ~1e26-magnitude
+    LEFT singular vectors for exactly-zero singular values (measured
+    2026-08-19 on a rank-3 (4,24) matrix; numpy's LAPACK on the same
+    bytes returns a clean orthonormal completion).  Those garbage basis
+    columns overflow the fused sweeps' phi products two sweeps later, so
+    every f32 split goes through this construction on every backend.
+
+    Contract: u exactly orthonormal (QR- or eigh-produced, including at
+    s == 0), u @ (s*vt) == a to arithmetic precision, vt rows at
+    s <= eps32*s_max are exactly ZERO (not orthonormal completions).
+    Only the singular-value ESTIMATES carry the Gram squaring's accuracy
+    loss (~sqrt(eps_f32) for the smallest), which split-rank decisions
+    tolerate."""
     m, n = a.shape
-    transpose = m < n
-    at = a.T if transpose else a            # (M, N), M >= N
-    G = at.T @ at                            # (N, N) Gram
-    # Diagonal shift before eigh: the TPU QDWH lowering is fragile on
-    # exact-zero columns / clustered tiny eigenvalues (the padded TT
-    # sweeps produce both routinely; the f64 variant NaN'd on these,
-    # round-1 probes).  A shift leaves the eigenvectors unchanged and is
-    # subtracted from the eigenvalue estimates afterwards.
-    N = G.shape[0]
-    delta = jnp.trace(G) / N * 1e-6 + TINY
-    w, V = jnp.linalg.eigh(0.5 * (G + G.T) + delta * jnp.eye(N, dtype=G.dtype))
-    w = jnp.flip(w, axis=0) - delta
-    V = jnp.flip(V, axis=1)
-    s = jnp.sqrt(jnp.maximum(w, 0.0))
-    B = at @ V                               # columns ~ U * s, spans range(at)
-    q, _ = jnp.linalg.qr(B, mode="reduced")  # exactly orthonormal
-    coeff = q.T @ at                         # u @ coeff == at exactly
-    vt = coeff / jnp.maximum(s, TINY)[:, None]
-    if transpose:
-        # at = q @ (s*vt)  =>  a = (s*vt).T @ q.T = vt.T * s @ q.T
-        return vt.T, s, q.T
-    return q, s, vt
+    if m < n:
+        # wide: left singular vectors are eigenvectors of the small Gram
+        # a a^T — eigh returns an exactly orthonormal V, no division.
+        G = a @ a.T                          # (m, m)
+        delta = jnp.trace(G) / m * 1e-6 + TINY
+        w, V = jnp.linalg.eigh(
+            0.5 * (G + G.T) + delta * jnp.eye(m, dtype=G.dtype)
+        )
+        w = jnp.flip(w, axis=0) - delta
+        u = jnp.flip(V, axis=1)              # exactly orthonormal
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        coeff = u.T @ a                      # u @ coeff == a exactly
+    else:
+        G = a.T @ a                          # (n, n) Gram
+        # Diagonal shift before eigh: the TPU QDWH lowering is fragile on
+        # exact-zero columns / clustered tiny eigenvalues (the padded TT
+        # sweeps produce both routinely); the shift leaves eigenvectors
+        # unchanged and is subtracted from the estimates afterwards.
+        delta = jnp.trace(G) / n * 1e-6 + TINY
+        w, V = jnp.linalg.eigh(
+            0.5 * (G + G.T) + delta * jnp.eye(n, dtype=G.dtype)
+        )
+        w = jnp.flip(w, axis=0) - delta
+        V = jnp.flip(V, axis=1)
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        B = a @ V                            # columns ~ U * s, span range(a)
+        from ttipm_tpu.ops.kernels import qr_reduced
+        u, _ = qr_reduced(B)                 # exactly orthonormal
+        coeff = u.T @ a                      # u @ coeff == a exactly
+    # rows of coeff at s ~ 0 are eps-size noise; dividing them by TINY
+    # manufactures ~1e24 garbage — zero them below the f32 noise cutoff
+    cutoff = 4e-7 * jnp.max(s) + TINY
+    vt = jnp.where((s > cutoff)[:, None],
+                   coeff / jnp.maximum(s, TINY)[:, None],
+                   jnp.zeros_like(coeff))
+    return u, s, vt
 
 
 def fast_split_svd(a, full_matrices: bool = False):
-    """SVD for fixed-rank basis splits (fused sweeps): LAPACK on CPU, the
-    mixed-precision Jacobi pipeline on TPU f64, the Gram-eigh split on
-    TPU f32.  The split u @ (s*vt) == a is exact and u exactly orthonormal
-    on every path; only the ordering of near-equal singular values differs
-    at f32 resolution."""
+    """SVD for fixed-rank basis splits (fused sweeps): LAPACK on CPU f64,
+    the mixed-precision Jacobi pipeline on TPU f64, the Gram-eigh split
+    for f32 on EVERY backend (both native f32 lowerings are broken: the
+    TPU one crashes the compiler, the XLA:CPU one returns garbage basis
+    columns at zero singular values — see _gram_split_svd).  The split
+    u @ (s*vt) == a is exact and u exactly orthonormal on every path."""
     assert not full_matrices
     if not _use_jacobi(a.dtype):
-        if _targets_tpu():
+        if a.dtype == jnp.float32 or _targets_tpu():
             return _gram_split_svd(a)
         return jnp.linalg.svd(a, full_matrices=False)
     return jacobi_svd_fast(a)
@@ -333,7 +357,7 @@ def safe_svd(a, full_matrices: bool = False):
     vt rows at s == 0 are zero rather than orthonormal completions."""
     assert not full_matrices, "safe_svd supports full_matrices=False only"
     if not _use_jacobi(a.dtype):
-        if _targets_tpu():
+        if a.dtype == jnp.float32 or _targets_tpu():
             return _gram_split_svd(a)
         return jnp.linalg.svd(a, full_matrices=False)
     return jacobi_svd(a)

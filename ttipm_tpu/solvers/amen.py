@@ -76,9 +76,14 @@ def compute_phi_fwd_rhs(phi_prev, core_b, core):
 
 def _block_column_scales(core: jax.Array) -> jax.Array:
     """Per-block-column norm floors used to equilibrate the local SVD
-    (src/tt_als.py:321-326)."""
+    (src/tt_als.py:321-326).  The floor is dtype-aware: the reference's
+    absolute 1e-10 assumes f64 SVD noise (~1e-16*sigma); in f32 a dead
+    block column divided by 1e-10 amplifies noise ~1e3x per sweep (see
+    fused.py::_column_scales for the measured overflow chain)."""
     norms = jnp.sqrt(jnp.sum(core**2, axis=(0, 2, 3)))
-    return jnp.maximum(norms, 1e-10).reshape(1, -1, 1, 1)
+    rel = 1e-5 if core.dtype == jnp.float32 else 1e-12
+    floor = jnp.maximum(rel * jnp.max(norms), 1e-10)
+    return jnp.maximum(norms, floor).reshape(1, -1, 1, 1)
 
 
 def _residual_rank_backoff(
@@ -566,6 +571,10 @@ def tt_block_amen(
     swp = 0
 
     for swp in range(nswp + 1):
+        # d>=12 solves mint enough fresh shapes to cross vm.max_map_count
+        # WITHIN one multi-sweep solve (maxcut d12 SIGSEGV'd after 505s of
+        # one AMEn call); check per sweep, not only per solve.
+        config.maybe_relieve_map_pressure()
         sweep = _bck_sweep if direction > 0 else _fwd_sweep
         (x_cores, z_cores, XAX, Xb, rx, local_res, local_dx,
          direct_solve_failure) = sweep(

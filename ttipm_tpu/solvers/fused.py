@@ -41,6 +41,7 @@ from ttipm_tpu.ops.jacobi import TINY, fast_split_svd
 
 from ttipm_tpu import config
 from ttipm_tpu.ops.linalg import qr_apply, qr_factor, qr_solve
+from ttipm_tpu.ops.kernels import qr_reduced
 from ttipm_tpu.solvers.amen import AmenToleranceReached, AmenRestartsExhausted
 
 __all__ = ["tt_restarted_block_amen_fused", "tt_block_amen_fused"]
@@ -168,24 +169,78 @@ def _chol_solve(L, b):
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
-def _dense_solve(pl, A, pr, inv_I, rhs, ineq: bool):
-    """Schur-elimination dense solve, inlined from solvers/local_kkt.py
-    (reference src/tt_ipm.py:196-223 eq / :298-334 ineq)."""
+def _den_clamp(den):
+    """Sign-preserving floor for the projected-identity diagonal used in
+    the dZ elimination (1/den): a dead basis direction makes den cross 0
+    at f32 noise level and 1/den overflows.  Floor |den| at a relative
+    threshold above the dtype's noise."""
+    rel = 1e-6 if den.dtype == jnp.float32 else 1e-14
+    floor = rel * jnp.max(jnp.abs(den))
+    sign = jnp.where(den >= 0, 1.0, -1.0).astype(den.dtype)
+    return sign * jnp.maximum(jnp.abs(den), floor)
+
+
+def _tikhonov(S):
+    """Dtype-aware Tikhonov term for the (near-singular) Schur systems.
+
+    The reference adds an absolute 1e-11*I in f64 (src/tt_ipm.py:207),
+    which dominates f64 roundoff of S and bounds the null-space component
+    of the solve.  In f32 the entries of S carry noise ~eps32*|S| >> 1e-11,
+    so the absolute term is a no-op: a basis-null direction of S yields a
+    ~1e23-magnitude solution with a SMALL residual (the never-regress
+    guard accepts it) and the phi products overflow two sweeps later
+    (localised 2026-08-19, maxcut d3 iteration 0).  The f32 term must sit
+    above the data noise: 1e-6 * max|S|."""
+    m = S.shape[0]
+    if S.dtype == jnp.float64:
+        lam = 1e-11
+    else:
+        lam = 1e-6 * jnp.max(jnp.abs(S)) + 1e-11
+    return S + lam * jnp.eye(m, dtype=S.dtype)
+
+
+def _dense_factor(pl, A, pr, inv_I, ineq: bool):
+    """Factorization stage of the Schur-elimination local solve: everything
+    that depends only on the operator (reference src/tt_ipm.py:196-223 eq /
+    :298-334 ineq).  Split from the rhs application so mixed-precision
+    iterative refinement can reuse the factors across correction solves."""
+    L_L_Z = jnp.linalg.cholesky(_tikhonov(_proj(pl["21"], A["21"], pr["21"])))
+    mL_eq = _proj(pl["01"], A["01"], pr["01"])
+    m = mL_eq.shape[0]
+    if not ineq:
+        L_X_I_inv = _proj(pl["22"], A["22"], pr["22"]) * inv_I.reshape(1, -1)
+        S = _chol_solve(L_L_Z, L_X_I_inv)
+        S = mL_eq @ (S @ mL_eq.T)
+        S = _tikhonov(S + _proj(pl["00"], A["00"], pr["00"]))
+        return (L_L_Z, mL_eq, L_X_I_inv, qr_factor(S))
+
+    Lz_inv_Lx = _chol_solve(L_L_Z, _proj(pl["22"], A["22"], pr["22"]))
+    T_op = _proj(pl["31"], A["31"], pr["31"])
+    Lz_inv_Lx_scaled = Lz_inv_Lx * inv_I.reshape(1, -1)
+    S = _proj(pl["00"], A["00"], pr["00"])
+    S = S + mL_eq @ (Lz_inv_Lx_scaled @ mL_eq.T)
+    D = _proj(pl["33"], A["33"], pr["33"])
+    D = _tikhonov(D + T_op @ Lz_inv_Lx)
+    TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
+    YT = mL_eq @ Lz_inv_Lx
+    d_qr = qr_factor(D)
+    lhs_y = _tikhonov(S - YT @ qr_apply(d_qr, TY))
+    return (L_L_Z, mL_eq, Lz_inv_Lx_scaled, T_op, TY, YT, d_qr,
+            qr_factor(lhs_y))
+
+
+def _dense_apply(fac, pl, A, pr, inv_I, rhs, ineq: bool):
+    """Back-substitution stage: apply the factors of _dense_factor to one
+    projected rhs."""
     r, _, n, R = rhs.shape
     m = r * n * R
     mR_p = rhs[:, 0].reshape(m, 1)
     mR_d = rhs[:, 1].reshape(m, 1)
     mR_c = rhs[:, 2].reshape(m, 1)
-    L_L_Z = jnp.linalg.cholesky(_proj(pl["21"], A["21"], pr["21"]))
-    mL_eq = _proj(pl["01"], A["01"], pr["01"])
     if not ineq:
-        L_X_I_inv = _proj(pl["22"], A["22"], pr["22"]) * inv_I.reshape(1, -1)
+        L_L_Z, mL_eq, L_X_I_inv, s_qr = fac
         b_vec = mR_p - mL_eq @ _chol_solve(L_L_Z, mR_c - L_X_I_inv @ mR_d)
-        S = _chol_solve(L_L_Z, L_X_I_inv)
-        S = mL_eq @ (S @ mL_eq.T)
-        S = S + _proj(pl["00"], A["00"], pr["00"])
-        S = S + 1e-11 * jnp.eye(m, dtype=S.dtype)
-        y = qr_solve(S, b_vec)
+        y = qr_apply(s_qr, b_vec)
         y3 = y.reshape(r, n, R)
         z = inv_I * (rhs[:, 1] - _apply_T(pl["01"], A["01"], pr["01"], y3))
         x = _chol_solve(
@@ -193,24 +248,13 @@ def _dense_solve(pl, A, pr, inv_I, rhs, ineq: bool):
         )
         return jnp.stack([y3, x.reshape(r, n, R), z], axis=1)
 
+    (L_L_Z, mL_eq, Lz_inv_Lx_scaled, T_op, TY, YT, d_qr, y_qr) = fac
     mR_t = rhs[:, 3].reshape(m, 1)
     Lz_inv_Rc = _chol_solve(L_L_Z, mR_c)
-    Lz_inv_Lx = _chol_solve(L_L_Z, _proj(pl["22"], A["22"], pr["22"]))
-    T_op = _proj(pl["31"], A["31"], pr["31"])
-    Lz_inv_Lx_scaled = Lz_inv_Lx * inv_I.reshape(1, -1)
     u = mR_p - mL_eq @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
     v = mR_t - T_op @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
-    S = _proj(pl["00"], A["00"], pr["00"])
-    S = S + mL_eq @ (Lz_inv_Lx_scaled @ mL_eq.T)
-    D = _proj(pl["33"], A["33"], pr["33"])
-    D = D + T_op @ Lz_inv_Lx
-    D = D + 1e-11 * jnp.eye(m, dtype=D.dtype)
-    TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
-    YT = mL_eq @ Lz_inv_Lx
-    d_qr = qr_factor(D)
     rhs_y = u - YT @ qr_apply(d_qr, v)
-    lhs_y = S - YT @ qr_apply(d_qr, TY)
-    y = qr_solve(lhs_y, rhs_y)
+    y = qr_apply(y_qr, rhs_y)
     t = qr_apply(d_qr, v - TY @ y)
     y3 = y.reshape(r, n, R)
     t3 = t.reshape(r, n, R)
@@ -223,22 +267,84 @@ def _dense_solve(pl, A, pr, inv_I, rhs, ineq: bool):
     return jnp.stack([y3, x.reshape(r, n, R), z3, t3], axis=1)
 
 
+def _dense_solve(pl, A, pr, inv_I, rhs, ineq: bool):
+    """Schur-elimination dense solve (factor + apply)."""
+    fac = _dense_factor(pl, A, pr, inv_I, ineq)
+    return _dense_apply(fac, pl, A, pr, inv_I, rhs, ineq)
+
+
+def _hi_tree(t):
+    return jax.tree_util.tree_map(
+        lambda c: c.astype(jnp.float64), t
+    )
+
+
 def _solve_local(pl, A, pr, bl, b, br, prev, ineq: bool):
     """Local KKT solve with in-kernel never-regress guard.  Returns
-    (solution, rhs, res_old, res_min, dx)."""
-    rhs = _project_rhs(bl, b, br, ineq)
-    norm_rhs = jnp.maximum(jnp.linalg.norm(rhs), 1e-10)
-    inv_I = 1.0 / jnp.einsum(
-        "lsr,smnS,LSR->lmL", pl["12"], A["12"], pr["12"]
-    )
+    (solution, rhs, res_old, res_min, dx).
+
+    Mixed-precision profile (config f32): the dense Schur factorization
+    runs in f32 (MXU-native), but the projected rhs, the KKT residuals,
+    and two iterative-refinement corrections run in f64 — SURVEY.md §7
+    hard-part #2.  Measured necessity: an all-f32 Newton solve stalls the
+    IPM at slackness ~1e-2 (maxcut d3, 21 iters) where f64 local solves
+    converge in 7; refinement recovers the f64-quality direction at f32
+    factorization cost."""
+    mode = config.mixed_local() if prev.dtype == jnp.float32 else "off"
+    if mode != "off":
+        pl_h, A_h, pr_h = _hi_tree(pl), _hi_tree(A), _hi_tree(pr)
+        prev_h = prev.astype(jnp.float64)
+        rhs_h = _project_rhs(_hi_tree(bl), _hi_tree(b), _hi_tree(br), ineq)
+        inv_I_h = 1.0 / _den_clamp(jnp.einsum(
+            "lsr,smnS,LSR->lmL", pl_h["12"], A_h["12"], pr_h["12"]
+        ))
+        inv_I = inv_I_h.astype(prev.dtype)
+        rhs = rhs_h.astype(prev.dtype)
+    else:
+        pl_h, A_h, pr_h = pl, A, pr
+        prev_h = prev
+        rhs_h = _project_rhs(bl, b, br, ineq)
+        inv_I_h = 1.0 / _den_clamp(jnp.einsum(
+            "lsr,smnS,LSR->lmL", pl["12"], A["12"], pr["12"]
+        ))
+        inv_I = inv_I_h
+        rhs = rhs_h
+    norm_rhs = jnp.maximum(jnp.linalg.norm(rhs_h), 1e-10)
     res_old = jnp.linalg.norm(
-        _local_product(pl, A, pr, prev, ineq) - rhs
+        _local_product(pl_h, A_h, pr_h, prev_h, ineq) - rhs_h
     ) / norm_rhs
-    cand = _dense_solve(pl, A, pr, inv_I, rhs, ineq)
+    if mode == "f64":
+        # full f64 Schur chain: the late-IPM local systems have
+        # kappa > 1/eps_f32, past what f32-factorization + refinement can
+        # recover; cholesky/QR/triangular lower safely under TPU f64
+        # emulation (only svd/eigh QDWH are fragile there)
+        fac = _dense_factor(pl_h, A_h, pr_h, inv_I_h, ineq)
+        cand = _dense_apply(
+            fac, pl_h, A_h, pr_h, inv_I_h, rhs_h, ineq
+        ).astype(prev.dtype)
+    else:
+        fac = _dense_factor(pl, A, pr, inv_I, ineq)
+        cand = _dense_apply(fac, pl, A, pr, inv_I, rhs, ineq)
+    if mode == "refine":
+        # two refinement passes: f64 residual through the exact projected
+        # operator, correction via the already-computed f32 factors
+        for _ in range(2):
+            r_h = rhs_h - _local_product(
+                pl_h, A_h, pr_h, cand.astype(jnp.float64), ineq
+            )
+            d = _dense_apply(
+                fac, pl, A, pr, inv_I, r_h.astype(prev.dtype), ineq
+            )
+            cand = cand + d
     res_new = jnp.linalg.norm(
-        _local_product(pl, A, pr, cand, ineq) - rhs
+        _local_product(pl_h, A_h, pr_h,
+                       cand.astype(rhs_h.dtype), ineq) - rhs_h
     ) / norm_rhs
-    good = jnp.isfinite(res_new) & (res_new <= res_old)
+    # magnitude sanity: a near-null direction of a singular projected
+    # system can produce a huge-norm candidate with a SMALL residual;
+    # accepting it overflows the f32 phi products two sweeps later
+    sane = jnp.linalg.norm(cand) < 1e8 * (1.0 + jnp.linalg.norm(prev))
+    good = jnp.isfinite(res_new) & (res_new <= res_old) & sane
     sol = jnp.where(good, cand, prev)
     res_min = jnp.where(good, res_new, res_old)
     dx = jnp.linalg.norm(sol - prev) / jnp.maximum(
@@ -248,8 +354,32 @@ def _solve_local(pl, A, pr, bl, b, br, prev, ineq: bool):
 
 
 def _column_scales(core):
+    """Per-block-column equilibration norms with a dtype-aware floor.
+
+    The reference floors at absolute 1e-10 (src/tt_als.py:321), calibrated
+    for f64: SVD noise on a zero column is ~1e-16*sigma, so noise/floor
+    decays.  In f32 the noise is ~1e-7*sigma — dividing by 1e-10 amplifies
+    a dead block column ~1e3x PER SWEEP, and the x/z phi products overflow
+    to inf within three sweeps (localised 2026-08-19).  A relative floor
+    of 1e-5*max-column-norm keeps the amplification below the SVD noise
+    growth rate in f32; in f64 the reference's absolute floor dominates."""
     norms = jnp.sqrt(jnp.sum(core**2, axis=(0, 2, 3)))
-    return jnp.maximum(norms, 1e-10).reshape(1, -1, 1, 1)
+    rel = 1e-5 if core.dtype == jnp.float32 else 1e-12
+    floor = jnp.maximum(rel * jnp.max(norms), 1e-10)
+    return jnp.maximum(norms, floor).reshape(1, -1, 1, 1)
+
+
+def _unit_fro(core):
+    """Rescale to unit Frobenius norm.  The z (AMEn enrichment) train is a
+    projection/direction basis only — its overall scale is mathematically
+    irrelevant — but the reference's ``z_neighbor / scales`` update
+    (src/tt_als.py:382,509) amplifies it by up to 1e10 per sweep through
+    the 1e-10 column-norm floor.  f64 absorbs the transient; in f32 the
+    ZAX phi products overflow to inf within three sweeps (localised
+    2026-08-19: phis hit 8e17..inf, then NaN).  Normalising the z cores
+    keeps every projection finite without changing any direction."""
+    nrm = jnp.sqrt(jnp.sum(core * core))
+    return core / jnp.maximum(nrm, TINY)
 
 
 def _phi_bck_A(phi_next, cl, a, cr):
@@ -355,7 +485,7 @@ def _bck_split_step(
         resxz = jnp.reshape(rhsxz - Axz, (rz * bs, n * rr)).T
         uz, _ = _trunc_svd(resxz, width - r_out)
         u_aug = jnp.concatenate([u[:, :r_out], uz], axis=1)  # (n*rr, width)
-        q, Rf = jnp.linalg.qr(u_aug, mode="reduced")
+        q, Rf = qr_reduced(u_aug)
         u_core = q.T.reshape(width, n, rr)
         v_new = (Rf[:, :r_out] @ v[:r_out]).T.reshape(rl, bs, width)
     else:
@@ -376,7 +506,7 @@ def _bck_split_step(
     uzz, vzz = _trunc_svd(resz, kick)
     z_core = uzz.T.reshape(kick, n, rz1)
     vz_new = vzz.T.reshape(rz, bs, kick)
-    z_km1_new = jnp.einsum("rdc,cbR->rbdR", z_km1, vz_new) / scales
+    z_km1_new = _unit_fro(jnp.einsum("rdc,cbR->rbdR", z_km1, vz_new) / scales)
 
     pl_new, bl_new, zl_new, zbl_new = _phis_bck(
         A, b, u_core, z_core, pr, br, zr, zbr, ineq
@@ -395,7 +525,7 @@ def _bck_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
         )
         Az = _z_product(zl, A, zr, sol, ineq)
         rhsz = _project_rhs(zbl, b, zbr, ineq)
-        z_new = (rhsz - Az) / _column_scales(sol)
+        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
     else:
         sol = x_k
         z_new = z_k
@@ -441,7 +571,7 @@ def _fwd_split_step(
         )
         uz, _ = _trunc_svd(resxz, width - r_out)
         u_aug = jnp.concatenate([u3.reshape(rl * n, -1)[:, :r_out], uz], axis=1)
-        q, Rf = jnp.linalg.qr(u_aug, mode="reduced")
+        q, Rf = qr_reduced(u_aug)
         u_core = q.reshape(rl, n, width)
         v_new = jnp.einsum(
             "rR,RdK->rdK", Rf[:, :r_out], v[:r_out].reshape(r_out, bs, rr)
@@ -461,7 +591,7 @@ def _fwd_split_step(
     uzz, vzz = _trunc_svd(resz, kick)
     z_core = uzz.reshape(rz, n, kick)
     vz_new = vzz.reshape(kick, bs, rz1)
-    z_kp1_new = jnp.einsum("rbR,RdK->rbdK", vz_new, z_kp1) / scales
+    z_kp1_new = _unit_fro(jnp.einsum("rbR,RdK->rbdK", vz_new, z_kp1) / scales)
 
     pr_new, br_new, zr_new, zbr_new = _phis_fwd(
         A, b, u_core, z_core, pl, bl, zl, zbl, ineq
@@ -479,7 +609,7 @@ def _fwd_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
         )
         Az = _z_product(zl, A, zr, sol, ineq)
         rhsz = _project_rhs(zbl, b, zbr, ineq)
-        z_new = (rhsz - Az) / _column_scales(sol)
+        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
     else:
         sol = x_k
         z_new = z_k
@@ -678,7 +808,13 @@ def _virtual_term_cores(A, x_cols, key: str, col: int, transpose: bool):
 
 
 def _train_dot(tr1, tr2):
-    rho = jnp.ones((1, 1), dtype=tr1[0].dtype)
+    # f64 accumulation: the residual-norm expansion below subtracts
+    # near-equal O(|b|^2) terms; accumulating the dots in f32 floors the
+    # resolvable relative residual at ~sqrt(eps_f32)=3e-4, right where the
+    # solver's acceptance thresholds live.  The trains are tiny, so the
+    # f64 (TPU-emulated) cost is negligible.
+    dt = jnp.float64 if config.mixed_local() else tr1[0].dtype
+    rho = jnp.ones((1, 1), dtype=dt)
     for c1, c2 in zip(tr1, tr2):
         rho = jnp.einsum("ab,amA,bmB->AB", rho, c1, c2)
     return rho[0, 0]

@@ -448,6 +448,15 @@ def _tt_max_generalised_eigen_fused_impl(
         step_size = 0.0
     max_res = float(np.max(local_res))
     x_cores = tt_normalise(list(config.offload_fetch(tuple(x_cores))))
+    # Unconverged-eigensolve penalty (reference src/tt_als.py:1280-1283):
+    # conservative step shrink by tol/res.  The tolerance must be floored
+    # at the dtype's achievable residual: under the f32 profile the sweeps
+    # converge to res ~ 5e-8 (input-representation floor) while the
+    # callers pass the reference's f64-calibrated tol=1e-8, and the
+    # penalty silently crushed CORRECT step sizes 4-16x per iteration
+    # (measured 2026-08-19: step 1.0 -> 0.23 at maxcut d3 iteration 0,
+    # stalling the IPM at slackness 1e-2).
+    tol = max(tol, 30.0 * float(jnp.finfo(config.dtype()).eps))
     if max_res > tol and np.isfinite(max_res) and max_res > 0:
         step_size *= tol / max_res
     return step_size, x_cores

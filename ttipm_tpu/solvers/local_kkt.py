@@ -27,6 +27,7 @@ from ttipm_tpu.solvers.lgmres import lgmres
 import numpy as np
 
 from ttipm_tpu import config
+from ttipm_tpu.solvers.fused import _tikhonov
 from ttipm_tpu.ops.linalg import qr_apply, qr_factor, qr_solve
 
 __all__ = ["ipm_local_solver", "ipm_local_solver_ineq"]
@@ -75,7 +76,7 @@ def _dense_eq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21, p21r,
     A = _chol_solve(L_L_Z, L_X_I_inv)
     A = mL_eq @ (A @ mL_eq.T)
     A = A + jnp.einsum("lsr,smnS,LSR->lmLrnR", p00l, a00, p00r).reshape(m, m)
-    A = A + 1e-11 * jnp.eye(m, dtype=A.dtype)
+    A = _tikhonov(A)
     y = qr_solve(A, b)
     y3 = y.reshape(r, n, R)
     z = inv_I * (
@@ -130,7 +131,7 @@ def _dense_ineq_kernel(p00l, a00, p00r, p01l, a01, p01r, p21l, a21, p21r,
     A = A + mL_eq @ (Lz_inv_Lx_scaled @ mL_eq.T)
     D = jnp.einsum("lsr,smnS,LSR->lmLrnR", p33l, a33, p33r).reshape(m, m)
     D = D + T_op @ Lz_inv_Lx
-    D = D + 1e-11 * jnp.eye(m, dtype=D.dtype)
+    D = _tikhonov(D)
     TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
     YT = mL_eq @ Lz_inv_Lx
     d_qr = qr_factor(D)
