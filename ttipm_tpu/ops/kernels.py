@@ -218,11 +218,17 @@ def panel_qr(a, interpret: bool = False):
 
 def qr_reduced(a, interpret: bool = False):
     """Reduced QR dispatch: the Pallas panel kernel inside its validated
-    envelope on TPU-bound f32 traces, ``jnp.linalg.qr`` everywhere else."""
+    envelope on TPU-bound f32 traces, ``jnp.linalg.qr`` everywhere else.
+    Under heterogeneous offload the HOST TT algebra still traces for the
+    CPU backend, so the Pallas path additionally requires the trace to
+    target a TPU (the offload programs' forced context)."""
     m, n = a.shape
     if (a.dtype == jnp.float32 and m >= n and m <= 512 and n <= 128
             and _panel_qr_enabled()):
-        return panel_qr(a, interpret=interpret)
+        from ttipm_tpu.ops.jacobi import _targets_tpu
+
+        if interpret or _targets_tpu():
+            return panel_qr(a, interpret=interpret)
     q, r = jnp.linalg.qr(a, mode="reduced")
     return q, r
 
