@@ -109,3 +109,49 @@ def test_gram_split_svd_contract():
         assert (np.diff(s_np) <= 1e-6).all(), "s not descending"
         sref = np.linalg.svd(np.asarray(a, dtype=np.float64), compute_uv=False)
         assert np.max(np.abs(s_np - sref)) / max(sref[0], 1e-9) < 1e-5
+
+
+def test_gram_split_svd_rank_deficient_f32():
+    """Regression: XLA:CPU's native f32 svd returns ~1e26 left singular
+    vectors at exactly-zero singular values (measured 2026-08-19 on a
+    rank-3 (4,24) matrix); the Gram-eigh split must keep u exactly
+    orthonormal and vt rows zeroed at the noise cutoff, on BOTH the wide
+    and tall branches."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ttipm_tpu.ops.jacobi import _gram_split_svd
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(4, 24).astype(np.float32)
+    # exact rank 3: project one direction out
+    u0, s0, vt0 = np.linalg.svd(base, full_matrices=False)
+    s0[3] = 0.0
+    for a in [u0 @ np.diag(s0) @ vt0,                 # wide (4, 24)
+              (u0 @ np.diag(s0) @ vt0).T]:            # tall (24, 4)
+        aj = jnp.asarray(a, jnp.float32)
+        u, s, vt = _gram_split_svd(aj)
+        un, sn, vtn = np.asarray(u), np.asarray(s), np.asarray(vt)
+        assert np.abs(un).max() < 1.5, "basis factor must stay orthonormal"
+        assert np.abs(un.T @ un - np.eye(un.shape[1])).max() < 1e-5
+        assert np.abs(vtn).max() < 1e3, "vt rows at s=0 must not blow up"
+        recon = un @ (sn[:, None] * vtn)
+        assert np.abs(recon - a).max() < 1e-4 * max(1.0, np.abs(a).max())
+
+
+def test_f32_split_dispatch_avoids_native_svd():
+    """f32 splits must take the Gram-eigh path on every backend (the
+    native f32 lowerings are broken: TPU compiler SIGABRT, CPU garbage
+    at zero singular values)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ttipm_tpu.ops.jacobi import fast_split_svd, safe_svd
+
+    rng = np.random.RandomState(6)
+    a = np.zeros((4, 24), np.float32)
+    a[:3] = rng.randn(3, 24)  # exact rank 3 with a zero row
+    for fn in (fast_split_svd, safe_svd):
+        u, s, vt = fn(jnp.asarray(a))
+        assert float(jnp.max(jnp.abs(u))) < 1.5
+        assert np.isfinite(np.asarray(vt)).all()
