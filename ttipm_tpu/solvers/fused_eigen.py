@@ -260,6 +260,13 @@ def _bucket4(r: int) -> int:
 
 
 def _prep_operator(cores, d: int) -> List[jax.Array]:
+    # Deliberately f64 even under the f32 profile: the step-size pencil
+    # (largest alpha with A + alpha*Delta PSD) determines a boundary
+    # crossing from near-zero eigenvalues, and an all-f32 eigen path
+    # breaks IPM convergence (measured 2026-08-19: maxcut d3 e2e fails
+    # within 2 iterations with f32 preps, passes with f64).  The window
+    # matrices are tiny, so the f64 cost is negligible on CPU and
+    # bounded on TPU (emulated matvecs; factorizations stay small).
     cs = [np.asarray(c, dtype=np.float64) for c in cores]
     if d == 1:
         return [jnp.asarray(cs[0])]
