@@ -168,3 +168,127 @@ def test_fused_min_eig_matches_dense():
     lam_true = np.linalg.eigvalsh(M)[0]
     x, lam = tt_min_eig_fused(sym, tol=1e-10, return_eig_val=True)
     assert np.isclose(float(lam), lam_true, rtol=1e-5, atol=1e-8)
+
+
+def test_whole_eigen_program_matches_host_loop():
+    """_gen_eigen_program (one-dispatch whole-eigen device program: peel +
+    lax.while_loop pairs + backward finish) must match the host per-window
+    loop on the same inputs."""
+    from ttipm_tpu.ops.tt import tt_add, tt_scale, tt_transpose
+    from ttipm_tpu.ops.products import tt_fast_mat_mat_mul
+
+    for d, seed in [(3, 0), (4, 1), (5, 2)]:
+        np.random.seed(seed)
+        B = tt_random_gaussian([2] * (d - 1), (2, 2))
+        A_tt = tt_add(
+            tt_fast_mat_mat_mul(B, tt_transpose(B), 1e-12),
+            tt_scale(0.5, tt_identity(d)),
+        )
+        np.random.seed(seed + 100)
+        Dl = tt_random_gaussian([2] * (d - 1), (2, 2))
+        D_tt = tt_add(
+            tt_add(tt_scale(0.5, Dl), tt_scale(0.5, tt_transpose(Dl))),
+            tt_scale(-0.3, tt_identity(d)),
+        )
+        config.set_fused_whole_solve(False)
+        np.random.seed(7)
+        s_host, _ = tt_max_generalised_eigen_fused(A_tt, D_tt, tol=1e-8)
+        config.set_fused_whole_solve(True)
+        try:
+            np.random.seed(7)
+            s_prog, _ = tt_max_generalised_eigen_fused(A_tt, D_tt, tol=1e-8)
+        finally:
+            config.set_fused_whole_solve(None)
+        # dense ground truth: largest alpha with A + alpha*D PSD
+        Ad = np.asarray(tt_matrix_to_matrix(A_tt))
+        Dd = np.asarray(tt_matrix_to_matrix(D_tt))
+        Ad, Dd = 0.5 * (Ad + Ad.T), 0.5 * (Dd + Dd.T)
+        gen = max(float(np.real(l)) for l in np.linalg.eigvals(
+            np.linalg.solve(Ad, -Dd)))
+        alpha_true = 1.0 if gen <= 0 else min(1.0, 1.0 / gen)
+        assert abs(s_prog - s_host) <= 1e-6 * max(1.0, abs(s_host))
+        assert s_prog <= alpha_true * (1 + 1e-5)
+        assert s_prog >= alpha_true * 0.9
+
+
+def test_whole_min_eig_program_matches_host_loop():
+    from ttipm_tpu.ops.tt import tt_add, tt_scale, tt_transpose
+    from ttipm_tpu.ops.products import tt_fast_mat_mat_mul
+
+    for d, seed in [(3, 0), (5, 2)]:
+        np.random.seed(seed)
+        B = tt_random_gaussian([2] * (d - 1), (2, 2))
+        A_tt = tt_add(
+            tt_fast_mat_mat_mul(B, tt_transpose(B), 1e-12),
+            tt_scale(0.5, tt_identity(d)),
+        )
+        config.set_fused_whole_solve(False)
+        np.random.seed(7)
+        _, v_host = tt_min_eig_fused(A_tt, return_eig_val=True)
+        config.set_fused_whole_solve(True)
+        try:
+            np.random.seed(7)
+            _, v_prog = tt_min_eig_fused(A_tt, return_eig_val=True)
+        finally:
+            config.set_fused_whole_solve(None)
+        M = np.asarray(tt_matrix_to_matrix(A_tt))
+        lam_true = np.linalg.eigvalsh(0.5 * (M + M.T))[0]
+        assert np.isclose(float(v_prog), float(v_host), rtol=1e-6, atol=1e-9)
+        assert np.isclose(float(v_prog), lam_true, rtol=1e-4, atol=1e-7)
+
+
+def test_whole_eigen_program_zero_step():
+    """When A is on the PSD boundary along -Delta the step collapses; the
+    program must return a finite non-negative step like the host loop."""
+    from ttipm_tpu.ops.tt import tt_scale
+
+    d = 3
+    A_tt = tt_scale(1e-12, tt_identity(d))  # nearly singular PSD
+    D_tt = tt_scale(-1.0, tt_identity(d))   # strictly negative direction
+    config.set_fused_whole_solve(True)
+    try:
+        np.random.seed(7)
+        s_prog, xs = tt_max_generalised_eigen_fused(A_tt, D_tt, tol=1e-8)
+    finally:
+        config.set_fused_whole_solve(None)
+    assert np.isfinite(s_prog) and s_prog >= 0.0
+    assert s_prog <= 1.1e-12 / 1e-12 * 1e-12 + 1e-11  # ~A/|D| scale
+    assert all(np.all(np.isfinite(np.asarray(c))) for c in xs)
+
+
+def test_whole_eigen_program_f32_native():
+    """The f32-native eigen mode (config.set_eigen_dtype('native') under
+    the f32 profile) must keep 3-digit step-size agreement with f64 — the
+    precision the IPM needs (ARCHITECTURE.md f32 chain)."""
+    from ttipm_tpu.ops.tt import tt_add, tt_scale, tt_transpose
+    from ttipm_tpu.ops.products import tt_fast_mat_mat_mul
+
+    d = 4
+    np.random.seed(11)
+    B = tt_random_gaussian([2] * (d - 1), (2, 2))
+    A_tt = tt_add(
+        tt_fast_mat_mat_mul(B, tt_transpose(B), 1e-12),
+        tt_scale(0.5, tt_identity(d)),
+    )
+    np.random.seed(111)
+    Dl = tt_random_gaussian([2] * (d - 1), (2, 2))
+    D_tt = tt_add(
+        tt_add(tt_scale(0.5, Dl), tt_scale(0.5, tt_transpose(Dl))),
+        tt_scale(-0.3, tt_identity(d)),
+    )
+    np.random.seed(7)
+    s_f64, _ = tt_max_generalised_eigen_fused(A_tt, D_tt, tol=1e-8)
+
+    config.set_dtype(jnp.float32)
+    config.set_eigen_dtype("native")
+    config.set_fused_whole_solve(True)
+    try:
+        A32 = [jnp.asarray(c, dtype=jnp.float32) for c in A_tt]
+        D32 = [jnp.asarray(c, dtype=jnp.float32) for c in D_tt]
+        np.random.seed(7)
+        s_f32, _ = tt_max_generalised_eigen_fused(A32, D32, tol=1e-8)
+    finally:
+        config.set_fused_whole_solve(None)
+        config.set_eigen_dtype("f64")
+        config.set_dtype(jnp.float64)
+    assert abs(s_f32 - s_f64) < 5e-3 * max(abs(s_f64), 1.0)

@@ -181,6 +181,29 @@ def offload_fetch(tree):
     return jax.device_put(tree, jax.devices()[0])
 
 
+# --- Eigen step-size dtype ---------------------------------------------------
+#
+# The step-size eigensolves (fused_eigen.py) historically ran f64 even
+# under the f32 profile: with the round-2 broken f32 splits an all-f32
+# eigen path failed e2e within 2 iterations.  With the Gram-eigh split
+# chain in place, "native" runs the pencil in config.dtype() — the mode
+# the whole-eigen device program needs on TPU, where f64 means Jacobi
+# rotation loops that blow up the remote compile (19 min measured).
+# "f64" preserves the measured-good legacy behavior.
+
+_EIGEN_DTYPE = "f64"
+
+
+def set_eigen_dtype(mode: str) -> None:
+    assert mode in ("f64", "native"), mode
+    global _EIGEN_DTYPE
+    _EIGEN_DTYPE = mode
+
+
+def eigen_dtype():
+    return jnp.float64 if _EIGEN_DTYPE == "f64" else _DTYPE
+
+
 # Whole-solve device loop for the fused AMEn (solvers/fused.py
 # ::_solve_program): the multi-sweep solve runs as ONE program with an
 # on-device lax.while_loop termination test.  None = auto (enabled exactly

@@ -252,6 +252,270 @@ def _min_last_step(pl, A_k, pr, neighbor, prev, r_out: int, bwd: bool,
 
 
 # ---------------------------------------------------------------------------
+# Whole-eigen device program: the ENTIRE eigensolve — sweep-0
+# orthogonalization, the first forward solving half sweep, a
+# lax.while_loop over (backward, forward) half-sweep pairs with alpha,
+# residuals, zero-step and stall termination ALL on device, and a final
+# backward refinement sweep — as ONE jitted program (the _solve_program
+# collapse of solvers/fused.py:713-780 applied to the step-size search).
+#
+# Motivation (BASELINE.md round 2): the per-window host loop costs ~160
+# dispatches x 28 ms tunnel latency per IPM iteration — the dominant term
+# of the 3044 s on-chip maxcut d3 solve.  This program leaves ONE dispatch
+# per eigensolve and zero host float() syncs.
+#
+# Deviations from the host loop (both bounded): termination is checked at
+# sweep-pair granularity (at most one extra half sweep), and the finishing
+# refinement always runs backward (the host picks the direction opposite
+# the half sweep that converged; the refinement is direction-symmetric).
+# On zero-step (alpha <= 0 / nonfinite) the forward half and the finish
+# results are discarded via where-selects, matching the host's break.
+# ---------------------------------------------------------------------------
+
+
+def _stalled_dev(prev_step, step, prev_res, res, tol):
+    """Device form of solvers/eigen.py::_eigen_step_stalled."""
+    scale = jnp.maximum(jnp.maximum(jnp.abs(step), jnp.abs(prev_step)), 1.0)
+    res_stall = (
+        jnp.isfinite(prev_res) & jnp.isfinite(res)
+        & (res <= 50 * tol) & (res >= 0.8 * prev_res)
+    )
+    step_stall = jnp.abs(step - prev_step) <= jnp.maximum(
+        10 * tol, 1e-12
+    ) * scale
+    return step_stall & res_stall
+
+
+def _res_stalled_dev(prev_res, res, tol):
+    """Device form of solvers/eigen.py::_eigen_residual_stalled."""
+    return (
+        jnp.isfinite(prev_res) & jnp.isfinite(res)
+        & (res <= 50 * tol) & (res >= 0.8 * prev_res)
+    )
+
+
+def _gen_orth_sweep(A_p, D_p, st, caps):
+    xs, XAX, XDX = list(st[0]), list(st[1]), list(st[2])
+    d = len(xs)
+    for k in range(d - 1, 0, -1):
+        core, x_prev, (pA, pD) = _orth_bck_step(
+            xs[k - 1], xs[k], (A_p[k], D_p[k]), (XAX[k + 1], XDX[k + 1]),
+            r_out=caps[k - 1], n_ops=2,
+        )
+        xs[k] = core
+        xs[k - 1] = x_prev
+        XAX[k] = pA
+        XDX[k] = pD
+    return tuple(xs), tuple(XAX), tuple(XDX)
+
+
+def _gen_half_sweep(A_p, D_p, st, alpha, tol, caps, bwd: bool):
+    xs, XAX, XDX = list(st[0]), list(st[1]), list(st[2])
+    d = len(xs)
+    res_vals = []
+    if bwd:
+        for k in range(d - 1, 0, -1):
+            xs[k - 1], xs[k], alpha, res, pA, pD = _gen_window_step(
+                XAX[k - 1], A_p[k - 1], A_p[k], XAX[k + 1],
+                XDX[k - 1], D_p[k - 1], D_p[k], XDX[k + 1],
+                xs[k - 1], xs[k], alpha, tol, r_out=caps[k - 1], bwd=True,
+            )
+            XAX[k] = pA
+            XDX[k] = pD
+            res_vals.append(res)
+    else:
+        for k in range(d - 1):
+            xs[k], xs[k + 1], alpha, res, pA, pD = _gen_window_step(
+                XAX[k], A_p[k], A_p[k + 1], XAX[k + 2],
+                XDX[k], D_p[k], D_p[k + 1], XDX[k + 2],
+                xs[k], xs[k + 1], alpha, tol, r_out=caps[k], bwd=False,
+            )
+            XAX[k + 1] = pA
+            XDX[k + 1] = pD
+            res_vals.append(res)
+    return ((tuple(xs), tuple(XAX), tuple(XDX)), alpha,
+            jnp.max(jnp.stack(res_vals)))
+
+
+def _gen_finish_sweep(A_p, D_p, st, alpha, tol, caps):
+    """Backward single-core refinement (host finish(-1))."""
+    xs, XAX, XDX = list(st[0]), list(st[1]), list(st[2])
+    d = len(xs)
+    for k in range(d - 1, -1, -1):
+        split = k > 0
+        neighbor = xs[k - 1] if split else xs[k]
+        r_out = caps[k - 1] if split else 1
+        core, nb_new, alpha, _, pA, pD = _gen_last_step(
+            XAX[k], A_p[k], XAX[k + 1], XDX[k], D_p[k], XDX[k + 1],
+            neighbor, xs[k], alpha, tol, r_out=r_out, bwd=True, split=split,
+        )
+        xs[k] = core
+        if split:
+            xs[k - 1] = nb_new
+            XAX[k] = pA
+            XDX[k] = pD
+    return (tuple(xs), tuple(XAX), tuple(XDX)), alpha
+
+
+@partial(jax.jit, static_argnames=("caps", "max_pairs"))
+def _gen_eigen_program(A_p, D_p, x_cores, alpha0, tol, caps: tuple,
+                       max_pairs: int):
+    dt = A_p[0].dtype
+    d = len(x_cores)
+    ones3 = jnp.ones((1, 1, 1), dtype=dt)
+    # interior placeholders are overwritten by the orth sweep before any
+    # read (trace-time list surgery, no shape constraint)
+    XAX = tuple([ones3] * (d + 1))
+    XDX = tuple([ones3] * (d + 1))
+    alpha0 = jnp.asarray(alpha0, dtype=dt)
+    tol = jnp.asarray(tol, dtype=dt)
+    inf = jnp.asarray(jnp.inf, dtype=dt)
+
+    st = _gen_orth_sweep(A_p, D_p, (x_cores, XAX, XDX), caps)
+    st, alpha, res_f = _gen_half_sweep(
+        A_p, D_p, st, alpha0, tol, caps, bwd=False
+    )
+
+    def cond(carry):
+        _, alpha_c, _, sweep_res, _, _, stalled, p = carry
+        alpha_ok = jnp.isfinite(alpha_c) & (alpha_c > 0)
+        return (
+            (p < max_pairs) & alpha_ok & (sweep_res >= tol) & ~stalled
+        )
+
+    def body(carry):
+        st_c, alpha_c, res_f_prev, _, prev_step, prev_res, _, p = carry
+        st1, alpha1, res_b = _gen_half_sweep(
+            A_p, D_p, st_c, alpha_c, tol, caps, bwd=True
+        )
+        ok1 = jnp.isfinite(alpha1) & (alpha1 > 0)
+        # host semantics: skip the forward half on zero-step or on
+        # convergence after the backward half (max over BOTH halves'
+        # residuals, the forward ones from the previous sweep)
+        run_fwd = ok1 & (jnp.maximum(res_b, res_f_prev) >= tol)
+        st2, alpha2, res_f_c = jax.lax.cond(
+            run_fwd,
+            lambda args: _gen_half_sweep(
+                A_p, D_p, args[0], args[1], tol, caps, bwd=False
+            ),
+            lambda args: (args[0], args[1], res_b),
+            (st1, alpha1),
+        )
+        sweep_res = jnp.maximum(res_b, res_f_c)
+        stalled = (p >= 1) & _stalled_dev(
+            prev_step, alpha2, prev_res, sweep_res, tol
+        )
+        return (st2, alpha2, res_f_c, sweep_res, alpha2, sweep_res,
+                stalled, p + 1)
+
+    carry0 = (st, alpha, res_f, inf, alpha, inf,
+              jnp.zeros((), dtype=bool), jnp.zeros((), dtype=jnp.int32))
+    st, alpha, _, sweep_res, _, _, _, _ = jax.lax.while_loop(
+        cond, body, carry0
+    )
+
+    st_f, alpha_f = _gen_finish_sweep(A_p, D_p, st, alpha, tol, caps)
+    alpha_ok = jnp.isfinite(alpha) & (alpha > 0)
+    st = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(alpha_ok, a, b), st_f, st
+    )
+    alpha = jnp.where(alpha_ok, alpha_f, alpha)
+    return st[0], alpha, sweep_res
+
+
+def _min_orth_sweep(A_p, st, caps):
+    xs, XAX = list(st[0]), list(st[1])
+    d = len(xs)
+    for k in range(d - 1, 0, -1):
+        core, x_prev, (p_upd,) = _orth_bck_step(
+            xs[k - 1], xs[k], (A_p[k],), (XAX[k + 1],),
+            r_out=caps[k - 1], n_ops=1,
+        )
+        xs[k] = core
+        xs[k - 1] = x_prev
+        XAX[k] = p_upd
+    return tuple(xs), tuple(XAX)
+
+
+def _min_half_sweep(A_p, st, caps, bwd: bool):
+    xs, XAX = list(st[0]), list(st[1])
+    d = len(xs)
+    res_vals = []
+    if bwd:
+        for k in range(d - 1, 0, -1):
+            xs[k - 1], xs[k], res, p_upd = _min_window_step(
+                XAX[k - 1], A_p[k - 1], A_p[k], XAX[k + 1],
+                xs[k - 1], xs[k], r_out=caps[k - 1], bwd=True,
+            )
+            XAX[k] = p_upd
+            res_vals.append(res)
+    else:
+        for k in range(d - 1):
+            xs[k], xs[k + 1], res, p_upd = _min_window_step(
+                XAX[k], A_p[k], A_p[k + 1], XAX[k + 2],
+                xs[k], xs[k + 1], r_out=caps[k], bwd=False,
+            )
+            XAX[k + 1] = p_upd
+            res_vals.append(res)
+    return (tuple(xs), tuple(XAX)), jnp.max(jnp.stack(res_vals))
+
+
+def _min_finish_sweep(A_p, st, caps):
+    xs, XAX = list(st[0]), list(st[1])
+    d = len(xs)
+    for k in range(d - 1, -1, -1):
+        split = k > 0
+        neighbor = xs[k - 1] if split else xs[k]
+        r_out = caps[k - 1] if split else 1
+        core, nb_new, p_upd = _min_last_step(
+            XAX[k], A_p[k], XAX[k + 1], neighbor, xs[k],
+            r_out=r_out, bwd=True, split=split,
+        )
+        xs[k] = core
+        if split:
+            xs[k - 1] = nb_new
+            XAX[k] = p_upd
+    return tuple(xs), tuple(XAX)
+
+
+@partial(jax.jit, static_argnames=("caps", "max_pairs"))
+def _min_eig_program(A_p, x_cores, tol, caps: tuple, max_pairs: int):
+    dt = A_p[0].dtype
+    d = len(x_cores)
+    ones3 = jnp.ones((1, 1, 1), dtype=dt)
+    XAX = tuple([ones3] * (d + 1))
+    tol = jnp.asarray(tol, dtype=dt)
+    inf = jnp.asarray(jnp.inf, dtype=dt)
+
+    st = _min_orth_sweep(A_p, (x_cores, XAX), caps)
+    st, res_f = _min_half_sweep(A_p, st, caps, bwd=False)
+
+    def cond(carry):
+        _, _, sweep_res, _, stalled, p = carry
+        return (p < max_pairs) & (sweep_res >= tol) & ~stalled
+
+    def body(carry):
+        st_c, res_f_prev, _, prev_res, _, p = carry
+        st1, res_b = _min_half_sweep(A_p, st_c, caps, bwd=True)
+        run_fwd = jnp.maximum(res_b, res_f_prev) >= tol
+        st2, res_f_c = jax.lax.cond(
+            run_fwd,
+            lambda s: _min_half_sweep(A_p, s, caps, bwd=False),
+            lambda s: (s, res_b),
+            st1,
+        )
+        sweep_res = jnp.maximum(res_b, res_f_c)
+        stalled = (p >= 1) & _res_stalled_dev(prev_res, sweep_res, tol)
+        return (st2, res_f_c, sweep_res, sweep_res, stalled, p + 1)
+
+    carry0 = (st, res_f, inf, inf, jnp.zeros((), dtype=bool),
+              jnp.zeros((), dtype=jnp.int32))
+    st, _, sweep_res, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+    st = _min_finish_sweep(A_p, st, caps)
+    return st[0], sweep_res
+
+
+# ---------------------------------------------------------------------------
 # Host-side prep (numpy only)
 # ---------------------------------------------------------------------------
 
@@ -260,14 +524,16 @@ def _bucket4(r: int) -> int:
 
 
 def _prep_operator(cores, d: int) -> List[jax.Array]:
-    # Deliberately f64 even under the f32 profile: the step-size pencil
-    # (largest alpha with A + alpha*Delta PSD) determines a boundary
-    # crossing from near-zero eigenvalues, and an all-f32 eigen path
-    # breaks IPM convergence (measured 2026-08-19: maxcut d3 e2e fails
-    # within 2 iterations with f32 preps, passes with f64).  The window
-    # matrices are tiny, so the f64 cost is negligible on CPU and
-    # bounded on TPU (emulated matvecs; factorizations stay small).
-    cs = [np.asarray(c, dtype=np.float64) for c in cores]
+    # config.eigen_dtype() decides the pencil precision.  Default f64:
+    # the step-size pencil (largest alpha with A + alpha*Delta PSD)
+    # determines a boundary crossing from near-zero eigenvalues, and
+    # round 2's all-f32 eigen path broke IPM convergence (measured
+    # 2026-08-19: maxcut d3 e2e failed within 2 iterations) — though
+    # that measurement predates the Gram-eigh split fixes.  "native"
+    # mode (f32 under the f32 profile) is what the whole-eigen device
+    # program needs on TPU, where f64 lowers to Jacobi rotation loops
+    # that explode the remote compile (19 min measured, BASELINE.md).
+    cs = [np.asarray(c, dtype=config.eigen_dtype()) for c in cores]
     if d == 1:
         return [jnp.asarray(cs[0])]
     ra = _bucket4(max(c.shape[-1] for c in cs[:-1]))
@@ -289,7 +555,7 @@ def _vec_caps(d: int, R: int, n: int) -> List[int]:
 def _prep_vec(x0, d: int, n: int, caps: List[int], rng) -> List[jax.Array]:
     """Eigenvector warm start at exact cap ranks (numpy retraction/pad)."""
     if x0 is not None:
-        cores = [np.asarray(c, dtype=np.float64) for c in x0]
+        cores = [np.asarray(c, dtype=config.eigen_dtype()) for c in x0]
         # RL-orthogonalise then truncate/zero-pad to caps
         for i in range(d - 1, 0, -1):
             sh = cores[i].shape
@@ -318,7 +584,8 @@ def _prep_vec(x0, d: int, n: int, caps: List[int], rng) -> List[jax.Array]:
     for k in range(d):
         rl = 1 if k == 0 else caps[k - 1]
         rr = 1 if k == d - 1 else caps[k]
-        cores.append(jnp.asarray(rng.randn(rl, n, rr)))
+        cores.append(jnp.asarray(rng.randn(rl, n, rr),
+                                 dtype=config.eigen_dtype()))
     return cores
 
 
@@ -342,12 +609,34 @@ def _tt_max_generalised_eigen_fused_impl(
     caps = _vec_caps(d, R, n)
     x_cores = _prep_vec(x0, d, n, caps, rng)
 
-    ones3 = jnp.ones((1, 1, 1), dtype=config.dtype())
+    if config.fused_whole_solve() and d >= 2:
+        # Whole-eigen device program: ONE dispatch per eigensolve.
+        edt = config.eigen_dtype()
+        args = (tuple(A_p), tuple(D_p), tuple(x_cores),
+                jnp.asarray(1.0, dtype=edt), jnp.asarray(tol, dtype=edt))
+        if config.offload_device() is not None:
+            args = config.offload_put(args)
+        xs, alpha, res = _gen_eigen_program(
+            *args, caps=tuple(caps), max_pairs=max(nswp - 1, 1)
+        )
+        xs, alpha, res = config.offload_fetch((xs, alpha, res))
+        step_size = float(alpha)
+        if not np.isfinite(step_size) or step_size < 0:
+            step_size = 0.0
+        max_res = float(res)
+        x_cores = tt_normalise(list(xs))
+        # Unconverged-eigensolve penalty — see the host-loop comment below.
+        tol = max(tol, 30.0 * float(jnp.finfo(edt).eps))
+        if max_res > tol and np.isfinite(max_res) and max_res > 0:
+            step_size *= tol / max_res
+        return step_size, x_cores
+
+    ones3 = jnp.ones((1, 1, 1), dtype=config.eigen_dtype())
     XAX = [ones3] + [None] * (d - 1) + [ones3]
     XDX = [ones3] + [None] * (d - 1) + [ones3]
 
-    tol_dev = jnp.asarray(tol, dtype=config.dtype())
-    alpha = jnp.asarray(1.0, dtype=config.dtype())
+    tol_dev = jnp.asarray(tol, dtype=config.eigen_dtype())
+    alpha = jnp.asarray(1.0, dtype=config.eigen_dtype())
     if config.offload_device() is not None:
         (A_p, D_p, x_cores, XAX, XDX, tol_dev, alpha) = config.offload_put(
             (A_p, D_p, x_cores, XAX, XDX, tol_dev, alpha)
@@ -463,7 +752,7 @@ def _tt_max_generalised_eigen_fused_impl(
     # penalty silently crushed CORRECT step sizes 4-16x per iteration
     # (measured 2026-08-19: step 1.0 -> 0.23 at maxcut d3 iteration 0,
     # stalling the IPM at slackness 1e-2).
-    tol = max(tol, 30.0 * float(jnp.finfo(config.dtype()).eps))
+    tol = max(tol, 30.0 * float(jnp.finfo(config.eigen_dtype()).eps))
     if max_res > tol and np.isfinite(max_res) and max_res > 0:
         step_size *= tol / max_res
     return step_size, x_cores
@@ -486,7 +775,23 @@ def _tt_min_eig_fused_impl(
     caps = _vec_caps(d, R, n)
     x_cores = _prep_vec(x0, d, n, caps, rng)
 
-    ones3 = jnp.ones((1, 1, 1), dtype=config.dtype())
+    if config.fused_whole_solve() and d >= 2:
+        edt = config.eigen_dtype()
+        args = (tuple(A_p), tuple(x_cores), jnp.asarray(tol, dtype=edt))
+        if config.offload_device() is not None:
+            args = config.offload_put(args)
+        xs, _res = _min_eig_program(
+            *args, caps=tuple(caps), max_pairs=max(nswp - 1, 1)
+        )
+        x_cores = tt_normalise(list(config.offload_fetch(xs)))
+        min_eig_value = None
+        if return_eig_val:
+            min_eig_value = tt_inner_prod(
+                x_cores, tt_fast_matrix_vec_mul(A, x_cores, 1e-12)
+            )
+        return x_cores, min_eig_value
+
+    ones3 = jnp.ones((1, 1, 1), dtype=config.eigen_dtype())
     XAX = [ones3] + [None] * (d - 1) + [ones3]
     if config.offload_device() is not None:
         A_p, x_cores, XAX = config.offload_put((A_p, x_cores, XAX))
