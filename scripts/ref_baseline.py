@@ -1,0 +1,347 @@
+#!/usr/bin/env python
+"""Build and run the REFERENCE implementation for measured baselines.
+
+The reference (/root/reference) is a Cython/PETSc CPU code.  This image
+has no Cython, PETSc, or CHOLMOD — but the repo ships the GENERATED
+``cy_src/*.cpp``, which g++ compiles directly against this Python's
+headers, and the two missing libraries are stubbed:
+
+  * petsc4py  -> scipy.sparse.linalg.lgmres shim (same restarted
+    augmented-GMRES family; KSP LGMRES is only the iterative FALLBACK of
+    the reference's local KKT solver, src/tt_ipm.py:238-275)
+  * sksparse.cholmod -> raising stub (SpCholInv is defined but never
+    called, src/tt_als.py:865-873)
+
+Everything is staged OUT of the repo tree (/tmp/ttipm_ref) so no build
+artifacts or reference copies enter version control.
+
+Usage:
+    python scripts/ref_baseline.py build
+    python scripts/ref_baseline.py micro            # hot-kernel micro bench
+    python scripts/ref_baseline.py solve maxcut 3   # full reference solve
+Results land in results/ref_baseline/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import sysconfig
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+STAGE = "/tmp/ttipm_ref"
+OUT_DIR = os.path.join(REPO, "results", "ref_baseline")
+
+_PETSC_STUB = '''\
+"""petsc4py shim: KSP LGMRES emulated with scipy.sparse.linalg.lgmres.
+Only the surface used by the reference LGMRESSolver (tt_ipm.py:101-163)."""
+import numpy as np
+
+_OPTS = {}
+
+
+class _Vec:
+    def __init__(self, arr):
+        self._a = np.asarray(arr, dtype=np.float64)
+
+    @property
+    def array_r(self):
+        return self._a
+
+    @property
+    def array_w(self):
+        return self._a
+
+    def destroy(self):
+        pass
+
+
+class _Mat:
+    def createPython(self, shape, comm=None):
+        self.shape = shape
+        return self
+
+    def setPythonContext(self, ctx):
+        self.ctx = ctx
+        return self
+
+    def setUp(self):
+        pass
+
+
+class _KSP:
+    def create(self, comm=None):
+        return self
+
+    def setType(self, t):
+        pass
+
+    def setOptionsPrefix(self, p):
+        pass
+
+    def setFromOptions(self):
+        self.rtol = float(_OPTS.get("-ksp_rtol", 1e-8))
+        self.maxit = int(float(_OPTS.get("-ksp_max_it", 300)))
+        self.restart = int(float(_OPTS.get("-ksp_gmres_restart", 100)))
+        self.outer_k = int(float(_OPTS.get("-ksp_lgmres_augment", 10)))
+
+    def setOperators(self, A):
+        self.A = A
+
+    def solve(self, b, x):
+        from scipy.sparse.linalg import LinearOperator, lgmres
+
+        ctx = self.A.ctx
+        n = self.A.shape[0]
+
+        def mv(v):
+            xv = _Vec(v)
+            yv = _Vec(np.empty(n))
+            ctx.mult(None, xv, yv)
+            return yv._a
+
+        op = LinearOperator((n, n), matvec=mv, dtype=np.float64)
+        sol, _info = lgmres(op, b.array_r, rtol=self.rtol,
+                            maxiter=self.maxit, inner_m=self.restart,
+                            outer_k=self.outer_k)
+        x._a[:] = sol
+
+    def destroy(self):
+        pass
+
+
+class _Options(dict):
+    def setValue(self, k, v):
+        _OPTS[k] = v
+
+
+class _PETScNS:
+    KSP = _KSP
+    Mat = _Mat
+    Options = _Options
+    COMM_WORLD = object()
+
+    class Vec:
+        @staticmethod
+        def createWithArray(arr, comm=None):
+            return _Vec(arr)
+
+
+PETSc = _PETScNS()
+'''
+
+_CHOLMOD_STUB = '''\
+def cholesky(*a, **k):
+    raise RuntimeError("sksparse stub: CHOLMOD not available in this image")
+'''
+
+
+def build() -> None:
+    import numpy as np
+
+    os.makedirs(STAGE, exist_ok=True)
+    # stage a writable copy of the reference (utils.py rewrites configs on
+    # pathological-seed resampling, and results/ is written in-tree)
+    refcopy = os.path.join(STAGE, "refrun")
+    if not os.path.isdir(refcopy):
+        shutil.copytree(REF, refcopy)
+        subprocess.run(["chmod", "-R", "u+w", refcopy], check=True)
+        for so in os.listdir(os.path.join(refcopy, "cy_src")):
+            if so.endswith(".so"):
+                os.unlink(os.path.join(refcopy, "cy_src", so))
+    stubs = os.path.join(STAGE, "stubs")
+    os.makedirs(os.path.join(stubs, "petsc4py"), exist_ok=True)
+    os.makedirs(os.path.join(stubs, "sksparse"), exist_ok=True)
+    with open(os.path.join(stubs, "petsc4py", "__init__.py"), "w") as fh:
+        fh.write(_PETSC_STUB)
+    with open(os.path.join(stubs, "sksparse", "__init__.py"), "w") as fh:
+        fh.write("")
+    with open(os.path.join(stubs, "sksparse", "cholmod.py"), "w") as fh:
+        fh.write(_CHOLMOD_STUB)
+    with open(os.path.join(stubs, "memory_profiler.py"), "w") as fh:
+        # only exercised under --track_mem, which these baselines don't use
+        fh.write("def memory_usage(*a, **k):\n"
+                 "    raise RuntimeError('memory_profiler stub')\n")
+
+    inc_py = sysconfig.get_paths()["include"]
+    inc_np = np.get_include()
+    for mod in ("tt_ops_cy", "lgmres_cy"):
+        so_path = os.path.join(refcopy, "cy_src", f"{mod}.so")
+        if os.path.exists(so_path):
+            continue
+        cmd = [
+            "g++", "-shared", "-fPIC", "-O3", "-march=native",
+            "-funroll-loops", "-ftree-vectorize", "-fno-math-errno",
+            f"-I{inc_py}", f"-I{inc_np}",
+            "-DNPY_NO_DEPRECATED_API=NPY_1_7_API_VERSION",
+            os.path.join(refcopy, "cy_src", f"{mod}.cpp"),
+            "-o", so_path,
+        ]
+        print("[build]", " ".join(cmd), flush=True)
+        subprocess.run(cmd, check=True)
+    print("[build] done:", refcopy)
+
+
+def _env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.join(STAGE, "stubs"), os.path.join(STAGE, "refrun")]
+    )
+    # reference protocol pins BLAS threads (tt_ipm.sh:71-74); cap at the
+    # host's cores
+    ncpu = str(min(os.cpu_count() or 1, 16))
+    for var in ("OMP_NUM_THREADS", "MKL_NUM_THREADS",
+                "OPENBLAS_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        env[var] = ncpu
+    return env
+
+
+def micro() -> None:
+    """Time the reference's hot native kernels vs ttipm_tpu's (CPU)."""
+    os.makedirs(OUT_DIR, exist_ok=True)
+    script = r'''
+import json, sys, time
+import numpy as np
+from cy_src import tt_ops_cy as ref
+
+np.random.seed(0)
+
+
+def timeit(fn, n=20):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn()
+    return (time.perf_counter() - t0) / n
+
+
+out = {}
+for d, r in [(8, 16), (10, 24), (12, 32)]:
+    t = ref.tt_random_gaussian(tuple([1] + [r] * (d - 1) + [1]), (2, 2))
+    t2 = ref.tt_random_gaussian(tuple([1] + [r] * (d - 1) + [1]), (2, 2))
+    out[f"rank_reduce_d{d}_r{r}"] = timeit(lambda: ref.tt_rank_reduce(list(t), 1e-8))
+    out[f"psd_rank_reduce_d{d}_r{r}"] = timeit(lambda: ref.tt_psd_rank_reduce(list(t), 1e-8))
+    out[f"inner_prod_d{d}_r{r}"] = timeit(lambda: ref.tt_inner_prod(list(t), list(t2)))
+    if r <= 24:
+        v = ref.tt_random_gaussian(tuple([1] + [4] * (d - 1) + [1]), (2,))
+        out[f"fast_matvec_d{d}_r{r}x4"] = timeit(lambda: ref.tt_fast_matrix_vec_mul(list(t), list(v), 1e-12), n=5)
+print(json.dumps(out))
+'''
+    r = subprocess.run([sys.executable, "-c", script], env=_env(),
+                       capture_output=True, text=True, timeout=1200)
+    if r.returncode != 0:
+        print(r.stdout, r.stderr)
+        raise SystemExit(1)
+    ref_times = json.loads(r.stdout.strip().splitlines()[-1])
+
+    # ours, same shapes, CPU backend
+    script2 = r'''
+import json, time
+import os
+os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from ttipm_tpu import config as cfg
+cfg.enable_persistent_cache()
+from ttipm_tpu.ops.random import tt_random_gaussian
+from ttipm_tpu.ops.rounding import tt_rank_reduce, tt_psd_rank_reduce
+from ttipm_tpu.ops.tt import tt_inner_prod
+from ttipm_tpu.ops.products import tt_fast_matrix_vec_mul
+
+np.random.seed(0)
+
+
+def timeit(fn, n=20):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn()
+    return (time.perf_counter() - t0) / n
+
+
+out = {}
+for d, r in [(8, 16), (10, 24), (12, 32)]:
+    t = tt_random_gaussian([r] * (d - 1), (2, 2))
+    t2 = tt_random_gaussian([r] * (d - 1), (2, 2))
+    out[f"rank_reduce_d{d}_r{r}"] = timeit(lambda: tt_rank_reduce(list(t), 1e-8))
+    out[f"psd_rank_reduce_d{d}_r{r}"] = timeit(lambda: tt_psd_rank_reduce(list(t), 1e-8))
+    out[f"inner_prod_d{d}_r{r}"] = timeit(lambda: float(tt_inner_prod(list(t), list(t2))))
+    if r <= 24:
+        v = tt_random_gaussian([4] * (d - 1), (2,))
+        out[f"fast_matvec_d{d}_r{r}x4"] = timeit(lambda: tt_fast_matrix_vec_mul(list(t), list(v), 1e-12), n=5)
+print(json.dumps(out))
+'''
+    env2 = dict(os.environ)
+    env2.pop("PALLAS_AXON_POOL_IPS", None)
+    env2["JAX_PLATFORMS"] = "cpu"
+    env2["PYTHONPATH"] = REPO
+    r2 = subprocess.run([sys.executable, "-c", script2], env=env2,
+                        capture_output=True, text=True, timeout=1800)
+    if r2.returncode != 0:
+        print(r2.stdout, r2.stderr)
+        raise SystemExit(1)
+    our_times = json.loads(r2.stdout.strip().splitlines()[-1])
+
+    rows = {}
+    for k, tv in ref_times.items():
+        rows[k] = {"ref_s": tv, "ours_s": our_times.get(k),
+                   "speedup": (tv / our_times[k]) if our_times.get(k) else None}
+    path = os.path.join(OUT_DIR, "micro.json")
+    with open(path, "w") as fh:
+        json.dump(rows, fh, indent=1)
+    print(json.dumps(rows, indent=1))
+    print("[micro] written", path)
+
+
+def solve(problem: str, dim: int, timeout_s: int = 14400) -> None:
+    """Run the reference's own experiment runner for one (problem, dim)."""
+    os.makedirs(OUT_DIR, exist_ok=True)
+    refcopy = os.path.join(STAGE, "refrun")
+    cfg = os.path.join(refcopy, "configs", f"{problem}_{dim}.yaml")
+    entry = os.path.join(refcopy, "psd_system", problem, f"{problem}.py")
+    log_path = os.path.join(OUT_DIR, f"{problem}_{dim}.log")
+    t0 = time.time()
+    with open(log_path, "w") as logf:
+        try:
+            proc = subprocess.run(
+                [sys.executable, entry, "--config", cfg, "--rank", "1"],
+                env=_env(), cwd=refcopy, timeout=timeout_s,
+                stdout=logf, stderr=subprocess.STDOUT,
+            )
+            code = proc.returncode
+        except subprocess.TimeoutExpired:
+            code = "timeout"
+    rec = {"problem": problem, "dim": dim, "exit": code,
+           "wall_s": round(time.time() - t0, 1), "log": log_path}
+    # harvest the reference's own results json
+    res_dir = os.path.join(refcopy, "results")
+    if os.path.isdir(res_dir):
+        for fn in sorted(os.listdir(res_dir)):
+            if fn.endswith(".json") and f"configs_{problem}_{dim}_" in fn:
+                with open(os.path.join(res_dir, fn)) as fh:
+                    rec["results"] = json.load(fh)
+    with open(os.path.join(OUT_DIR, f"{problem}_{dim}.json"), "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(json.dumps({k: v for k, v in rec.items() if k != "results"}))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "build"
+    if cmd == "build":
+        build()
+    elif cmd == "micro":
+        build()
+        micro()
+    elif cmd == "solve":
+        build()
+        solve(sys.argv[2], int(sys.argv[3]),
+              int(sys.argv[4]) if len(sys.argv) > 4 else 14400)
+    else:
+        raise SystemExit(f"unknown command {cmd}")

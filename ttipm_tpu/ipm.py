@@ -48,6 +48,7 @@ from ttipm_tpu.ops.tt import (
     tt_reshape,
     tt_scale,
     tt_sub,
+    tt_trace,
     tt_transpose,
     tt_zero_matrix,
 )
@@ -203,9 +204,10 @@ def _tt_symmetrise(matrix_tt, err_bound):
     )
 
 
-def _tt_psd_symmetrise(matrix_tt, err_bound):
+def _tt_psd_symmetrise(matrix_tt, err_bound, return_shift=False):
     return tt_psd_rank_reduce(
-        tt_scale(0.5, tt_add(matrix_tt, tt_transpose(matrix_tt))), eps=err_bound
+        tt_scale(0.5, tt_add(matrix_tt, tt_transpose(matrix_tt))),
+        eps=err_bound, return_shift=return_shift,
     )
 
 
@@ -944,12 +946,25 @@ def tt_ipm(
                     tt_add(Z_tt, tt_scale(z_step, Delta_Z_tt)), dual_budget
                 )
             else:
-                X_tt = _tt_psd_symmetrise(
-                    tt_add(X_tt, tt_scale(x_step, Delta_X_tt)), primal_budget
+                X_tt, shift_x = _tt_psd_symmetrise(
+                    tt_add(X_tt, tt_scale(x_step, Delta_X_tt)), primal_budget,
+                    return_shift=True,
                 )
-                Z_tt = _tt_psd_symmetrise(
-                    tt_add(Z_tt, tt_scale(z_step, Delta_Z_tt)), dual_budget
+                Z_tt, shift_z = _tt_psd_symmetrise(
+                    tt_add(Z_tt, tt_scale(z_step, Delta_Z_tt)), dual_budget,
+                    return_shift=True,
                 )
+                if verbose and (shift_x > 0 or shift_z > 0):
+                    # Diagnostic for the large-d slackness floor: the PSD
+                    # compensation shifts inject ~shift_x*tr(Z)+shift_z*tr(X)
+                    # of absolute slackness per iteration.
+                    inj = shift_x * float(tt_trace(Z_tt)) + shift_z * float(
+                        tt_trace(X_tt)
+                    )
+                    print(
+                        f"\tPSD-shift: X {shift_x:.2e}, Z {shift_z:.2e}, "
+                        f"slack injection ~{inj:.2e}"
+                    )
 
             Y_tt = tt_rank_reduce(tt_add(Y_tt, tt_scale(z_step, Delta_Y_tt)), status.eps)
             Y_tt = tt_reshape(

@@ -239,24 +239,39 @@ def _compensated_rank_reduce(train_tt: TT, eps: float) -> tuple[TT, float]:
     return out, factor
 
 
-def tt_psd_rank_reduce(train_tt: TT, eps: float = 1e-18) -> TT:
+def tt_psd_rank_reduce(train_tt: TT, eps: float = 1e-18,
+                       return_shift: bool = False):
     """PSD-preserving rounding: compensates the discarded energy with a
-    multiple of the identity (cy_src/tt_ops_cy.pyx:262-325)."""
+    multiple of the identity (cy_src/tt_ops_cy.pyx:262-325).
+
+    With ``return_shift`` also returns the magnitude of the identity
+    shift actually added, ``sqrt(discarded energy)`` — the quantity that
+    injects ``shift * tr(Z)`` of complementary slackness per iterate
+    update and floors the achievable absolute gap at large d."""
     eps = config.clamp_eps(eps)
     out, factor = _compensated_rank_reduce(train_tt, eps)
-    if len(out) == 1 and factor == 0.0:
-        return out
-    n = out[0].shape[1]
-    eye_core = factor * jnp.eye(n, dtype=config.dtype()).reshape(1, n, n, 1)
-    return tt_add(out, [eye_core] * len(out))
+    shift = factor ** len(out)
+    if not (len(out) == 1 and factor == 0.0):
+        n = out[0].shape[1]
+        eye_core = factor * jnp.eye(n, dtype=config.dtype()).reshape(
+            1, n, n, 1
+        )
+        out = tt_add(out, [eye_core] * len(out))
+    if return_shift:
+        return out, shift
+    return out
 
 
-def tt_mask_rank_reduce(train_tt: TT, mask_tt: TT, eps: float = 1e-18) -> TT:
+def tt_mask_rank_reduce(train_tt: TT, mask_tt: TT, eps: float = 1e-18,
+                        return_shift: bool = False):
     """Mask-preserving rounding: compensation along ``mask_tt`` instead of
     the identity (cy_src/tt_ops_cy.pyx:329-388)."""
     eps = config.clamp_eps(eps)
     out, factor = _compensated_rank_reduce(train_tt, eps)
-    return tt_add(out, [factor * c for c in mask_tt])
+    out = tt_add(out, [factor * c for c in mask_tt])
+    if return_shift:
+        return out, factor ** len(out)
+    return out
 
 
 def tt_rank_retraction(train_tt: TT, upper_ranks: List[int]) -> TT:

@@ -79,7 +79,10 @@ def _shrink_alpha(MA, MD, alpha, tol):
 
 def _pencil_solve(MA, MD, prev_vec, alpha, tol):
     """Smallest eigpair of MA/alpha + MD, shrink rule, previous-iterate
-    residual in the updated pencil.  Returns (x, alpha_new, old_res)."""
+    residual in the updated pencil.  Returns (x, alpha_new, old_res,
+    scale) where scale = ||M||_F of the window pencil — the floor below
+    which a residual in this dtype is pure rounding noise (the penalty
+    tolerance in the driver is floored at eps(dtype)*scale)."""
     M = MA / alpha + MD
     lam, x = _smallest_eigpair(M)
     # branch outputs cast to the operand dtype: under the f32 profile a
@@ -94,7 +97,8 @@ def _pencil_solve(MA, MD, prev_vec, alpha, tol):
     Mp = (MA @ prev_vec) / denom + MD @ prev_vec
     lam_prev = jnp.vdot(prev_vec, Mp)
     old_res = jnp.linalg.norm(Mp - lam_prev * prev_vec)
-    return x, alpha_new, old_res
+    scale = jnp.linalg.norm(M)
+    return x, alpha_new, old_res, scale
 
 
 def _phi_bck(phi_next, c, a, c2):
@@ -137,7 +141,9 @@ def _gen_window_step(
     shape = prev.shape
     MA = _asm2(pAl, A_k, A_k1, pAr)
     MD = _asm2(pDl, D_k, D_k1, pDr)
-    x, alpha_new, old_res = _pencil_solve(MA, MD, prev.reshape(-1), alpha, tol)
+    x, alpha_new, old_res, scale = _pencil_solve(
+        MA, MD, prev.reshape(-1), alpha, tol
+    )
     x = x / jnp.maximum(jnp.linalg.norm(x), TINY)
     if bwd:
         sol1_new, sol2_new = _split_bck(x, shape, r_out)
@@ -147,7 +153,7 @@ def _gen_window_step(
         sol1_new, sol2_new = _split_fwd(x, shape, r_out)
         pA_upd = _phi_fwd(pAl, sol1_new, A_k, sol1_new)
         pD_upd = _phi_fwd(pDl, sol1_new, D_k, sol1_new)
-    return sol1_new, sol2_new, alpha_new, old_res, pA_upd, pD_upd
+    return sol1_new, sol2_new, alpha_new, old_res, scale, pA_upd, pD_upd
 
 
 @partial(jax.jit, static_argnames=("r_out", "bwd", "split"))
@@ -160,7 +166,9 @@ def _gen_last_step(
     shape = prev.shape
     MA = _asm1(pAl, A_k, pAr)
     MD = _asm1(pDl, D_k, pDr)
-    x, alpha_new, old_res = _pencil_solve(MA, MD, prev.reshape(-1), alpha, tol)
+    x, alpha_new, old_res, _scale = _pencil_solve(
+        MA, MD, prev.reshape(-1), alpha, tol
+    )
     x = x / jnp.maximum(jnp.linalg.norm(x), TINY)
     if not split:
         return x.reshape(shape), neighbor, alpha_new, old_res, pAl, pDl
@@ -313,9 +321,10 @@ def _gen_half_sweep(A_p, D_p, st, alpha, tol, caps, bwd: bool):
     xs, XAX, XDX = list(st[0]), list(st[1]), list(st[2])
     d = len(xs)
     res_vals = []
+    scale_vals = []
     if bwd:
         for k in range(d - 1, 0, -1):
-            xs[k - 1], xs[k], alpha, res, pA, pD = _gen_window_step(
+            xs[k - 1], xs[k], alpha, res, scl, pA, pD = _gen_window_step(
                 XAX[k - 1], A_p[k - 1], A_p[k], XAX[k + 1],
                 XDX[k - 1], D_p[k - 1], D_p[k], XDX[k + 1],
                 xs[k - 1], xs[k], alpha, tol, r_out=caps[k - 1], bwd=True,
@@ -323,9 +332,10 @@ def _gen_half_sweep(A_p, D_p, st, alpha, tol, caps, bwd: bool):
             XAX[k] = pA
             XDX[k] = pD
             res_vals.append(res)
+            scale_vals.append(scl)
     else:
         for k in range(d - 1):
-            xs[k], xs[k + 1], alpha, res, pA, pD = _gen_window_step(
+            xs[k], xs[k + 1], alpha, res, scl, pA, pD = _gen_window_step(
                 XAX[k], A_p[k], A_p[k + 1], XAX[k + 2],
                 XDX[k], D_p[k], D_p[k + 1], XDX[k + 2],
                 xs[k], xs[k + 1], alpha, tol, r_out=caps[k], bwd=False,
@@ -333,8 +343,9 @@ def _gen_half_sweep(A_p, D_p, st, alpha, tol, caps, bwd: bool):
             XAX[k + 1] = pA
             XDX[k + 1] = pD
             res_vals.append(res)
+            scale_vals.append(scl)
     return ((tuple(xs), tuple(XAX), tuple(XDX)), alpha,
-            jnp.max(jnp.stack(res_vals)))
+            jnp.max(jnp.stack(res_vals)), jnp.max(jnp.stack(scale_vals)))
 
 
 def _gen_finish_sweep(A_p, D_p, st, alpha, tol, caps):
@@ -372,20 +383,20 @@ def _gen_eigen_program(A_p, D_p, x_cores, alpha0, tol, caps: tuple,
     inf = jnp.asarray(jnp.inf, dtype=dt)
 
     st = _gen_orth_sweep(A_p, D_p, (x_cores, XAX, XDX), caps)
-    st, alpha, res_f = _gen_half_sweep(
+    st, alpha, res_f, scale0 = _gen_half_sweep(
         A_p, D_p, st, alpha0, tol, caps, bwd=False
     )
 
     def cond(carry):
-        _, alpha_c, _, sweep_res, _, _, stalled, p = carry
+        _, alpha_c, _, sweep_res, _, _, stalled, _, p = carry
         alpha_ok = jnp.isfinite(alpha_c) & (alpha_c > 0)
         return (
             (p < max_pairs) & alpha_ok & (sweep_res >= tol) & ~stalled
         )
 
     def body(carry):
-        st_c, alpha_c, res_f_prev, _, prev_step, prev_res, _, p = carry
-        st1, alpha1, res_b = _gen_half_sweep(
+        st_c, alpha_c, res_f_prev, _, prev_step, prev_res, _, scl, p = carry
+        st1, alpha1, res_b, scl_b = _gen_half_sweep(
             A_p, D_p, st_c, alpha_c, tol, caps, bwd=True
         )
         ok1 = jnp.isfinite(alpha1) & (alpha1 > 0)
@@ -393,24 +404,26 @@ def _gen_eigen_program(A_p, D_p, x_cores, alpha0, tol, caps: tuple,
         # convergence after the backward half (max over BOTH halves'
         # residuals, the forward ones from the previous sweep)
         run_fwd = ok1 & (jnp.maximum(res_b, res_f_prev) >= tol)
-        st2, alpha2, res_f_c = jax.lax.cond(
+        st2, alpha2, res_f_c, scl_f = jax.lax.cond(
             run_fwd,
             lambda args: _gen_half_sweep(
                 A_p, D_p, args[0], args[1], tol, caps, bwd=False
             ),
-            lambda args: (args[0], args[1], res_b),
+            lambda args: (args[0], args[1], res_b, scl_b),
             (st1, alpha1),
         )
         sweep_res = jnp.maximum(res_b, res_f_c)
         stalled = (p >= 1) & _stalled_dev(
             prev_step, alpha2, prev_res, sweep_res, tol
         )
+        scl = jnp.maximum(scl, jnp.maximum(scl_b, scl_f))
         return (st2, alpha2, res_f_c, sweep_res, alpha2, sweep_res,
-                stalled, p + 1)
+                stalled, scl, p + 1)
 
     carry0 = (st, alpha, res_f, inf, alpha, inf,
-              jnp.zeros((), dtype=bool), jnp.zeros((), dtype=jnp.int32))
-    st, alpha, _, sweep_res, _, _, _, _ = jax.lax.while_loop(
+              jnp.zeros((), dtype=bool), scale0,
+              jnp.zeros((), dtype=jnp.int32))
+    st, alpha, _, sweep_res, _, _, _, scale, _ = jax.lax.while_loop(
         cond, body, carry0
     )
 
@@ -420,7 +433,7 @@ def _gen_eigen_program(A_p, D_p, x_cores, alpha0, tol, caps: tuple,
         lambda a, b: jnp.where(alpha_ok, a, b), st_f, st
     )
     alpha = jnp.where(alpha_ok, alpha_f, alpha)
-    return st[0], alpha, sweep_res
+    return st[0], alpha, sweep_res, scale
 
 
 def _min_orth_sweep(A_p, st, caps):
@@ -616,17 +629,26 @@ def _tt_max_generalised_eigen_fused_impl(
                 jnp.asarray(1.0, dtype=edt), jnp.asarray(tol, dtype=edt))
         if config.offload_device() is not None:
             args = config.offload_put(args)
-        xs, alpha, res = _gen_eigen_program(
+        xs, alpha, res, scl = _gen_eigen_program(
             *args, caps=tuple(caps), max_pairs=max(nswp - 1, 1)
         )
-        xs, alpha, res = config.offload_fetch((xs, alpha, res))
+        xs, alpha, res, scl = config.offload_fetch((xs, alpha, res, scl))
         step_size = float(alpha)
         if not np.isfinite(step_size) or step_size < 0:
             step_size = 0.0
         max_res = float(res)
         x_cores = tt_normalise(list(xs))
-        # Unconverged-eigensolve penalty — see the host-loop comment below.
-        tol = max(tol, 30.0 * float(jnp.finfo(edt).eps))
+        # Unconverged-eigensolve penalty — see the host-loop comment
+        # below.  The tolerance is additionally floored at
+        # 4*eps(dtype)*||M||_F: a window residual at the pencil's own
+        # rounding-noise floor means the sweeps converged to this dtype's
+        # precision (alpha is as good as the dtype allows; the downstream
+        # fraction-to-boundary margin absorbs the remaining error), and
+        # penalising it crushes CORRECT f32 steps — measured 2026-08-20:
+        # maxcut d4 f32-native took 15 iterations with the absolute floor
+        # vs 7 in f64.
+        eps_dt = float(jnp.finfo(edt).eps)
+        tol = max(tol, 30.0 * eps_dt, 4.0 * eps_dt * float(scl))
         if max_res > tol and np.isfinite(max_res) and max_res > 0:
             step_size *= tol / max_res
         return step_size, x_cores
@@ -644,6 +666,7 @@ def _tt_max_generalised_eigen_fused_impl(
         A_p, D_p, x_cores = list(A_p), list(D_p), list(x_cores)
         XAX, XDX = list(XAX), list(XDX)
     local_res = np.inf * np.ones((2, max(d - 1, 1)))
+    max_scale = 0.0
     trunc_tol = tol / np.sqrt(d)
     prev_sweep_step = None
     prev_sweep_res = np.inf
@@ -679,7 +702,7 @@ def _tt_max_generalised_eigen_fused_impl(
         if swp > 0:
             res_list = []
             for k in range(d - 1, 0, -1):
-                (x_cores[k - 1], x_cores[k], alpha, res, pA_upd,
+                (x_cores[k - 1], x_cores[k], alpha, res, scl, pA_upd,
                  pD_upd) = _gen_window_step(
                     XAX[k - 1], A_p[k - 1], A_p[k], XAX[k + 1],
                     XDX[k - 1], D_p[k - 1], D_p[k], XDX[k + 1],
@@ -690,6 +713,7 @@ def _tt_max_generalised_eigen_fused_impl(
                 XDX[k] = pD_upd
                 res_list.append(res)
             local_res[0, :] = [float(r) for r in res_list][::-1]
+            max_scale = max(max_scale, float(scl))
             if not np.isfinite(float(alpha)) or float(alpha) <= 0:
                 zero_step = True
         else:
@@ -713,7 +737,7 @@ def _tt_max_generalised_eigen_fused_impl(
         # forward half sweep
         res_list = []
         for k in range(d - 1):
-            (x_cores[k], x_cores[k + 1], alpha, res, pA_upd,
+            (x_cores[k], x_cores[k + 1], alpha, res, scl, pA_upd,
              pD_upd) = _gen_window_step(
                 XAX[k], A_p[k], A_p[k + 1], XAX[k + 2],
                 XDX[k], D_p[k], D_p[k + 1], XDX[k + 2],
@@ -724,6 +748,7 @@ def _tt_max_generalised_eigen_fused_impl(
             XDX[k + 1] = pD_upd
             res_list.append(res)
         local_res[1, :] = [float(r) for r in res_list]
+        max_scale = max(max_scale, float(scl))
         if not np.isfinite(float(alpha)) or float(alpha) <= 0:
             break
         if np.max(local_res) < tol:
@@ -752,7 +777,8 @@ def _tt_max_generalised_eigen_fused_impl(
     # penalty silently crushed CORRECT step sizes 4-16x per iteration
     # (measured 2026-08-19: step 1.0 -> 0.23 at maxcut d3 iteration 0,
     # stalling the IPM at slackness 1e-2).
-    tol = max(tol, 30.0 * float(jnp.finfo(config.eigen_dtype()).eps))
+    eps_dt = float(jnp.finfo(config.eigen_dtype()).eps)
+    tol = max(tol, 30.0 * eps_dt, 4.0 * eps_dt * max_scale)
     if max_res > tol and np.isfinite(max_res) and max_res > 0:
         step_size *= tol / max_res
     return step_size, x_cores
