@@ -1,15 +1,23 @@
-"""Benchmark entry point: solves a MaxCut instance end-to-end and prints
-ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""Benchmark entry point: solves MaxCut instances end-to-end and prints
+ONE JSON line per solve plus a final grid-summary line
+{"metric", "value", "unit", "vs_baseline"}.
 
 Protocol follows BASELINE.md: wall clock of ``tt_ipm`` per seed on the
-configs/ grid; convergence requires complementary slackness + feasibility
-errors < abs_tol.  The reference repo publishes no numbers
-(BASELINE.md / BASELINE.json: "published": {}), so ``vs_baseline`` is
-reported against provisional single-CPU estimates for the Cython
-reference, to be replaced by measured numbers when available.
+configs/ grid; convergence requires complementary slackness < abs_tol.
 
-Env knobs: BENCH_DIM (default 5), BENCH_SEED (default 319),
-BENCH_PLATFORM (force a jax platform).
+``vs_baseline`` is MEASURED: scripts/ref_baseline.py builds the actual
+reference implementation (its generated Cython .cpp compiled with g++, a
+scipy-lgmres petsc4py shim) and runs it on the same host; per-dim
+reference mean runtimes are stored in BASELINE_MEASURED.json (committed)
+and results/ref_baseline/*.json (fresh runs).  vs_baseline = reference
+mean seconds / our seconds (>1 means we are faster).
+
+Platform selection: BENCH_PLATFORM env overrides; otherwise the TPU
+("axon") is used via the offload-f32 profile when reachable, falling
+back to cpu.
+
+Env knobs: BENCH_GRID ("dim:seeds,..."), BENCH_PLATFORM
+(cpu | offload | offload-f32).
 """
 
 from __future__ import annotations
@@ -34,23 +42,56 @@ if (
 
 import numpy as np
 
-# The reference publishes no benchmark numbers (BASELINE.md: results/ is
-# gitignored, README has reproduction commands only) and its PETSc/Cython
-# build cannot run in this image, so there is NO measured baseline:
-# vs_baseline is reported as null per the benchmarking protocol
-# (src/utils.py:300-321) until a measured reference number exists.
-# BASELINE.md carries this repo's own measured grid for regression
-# tracking instead.
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 DEFAULT_GRID = "3:2,5:2,6:1,8:1"  # dim:seeds pairs
-SEED_POOL = [319, 9313, 332, 261, 266]
+
+
+def _config_seeds(dim: int):
+    """Seeds from configs/maxcut_<dim>.yaml (commented seeds included in
+    the reference grid protocol are ignored) — keeps our runs seed-
+    comparable with the measured reference baselines."""
+    import yaml
+
+    path = os.path.join(REPO, "configs", f"maxcut_{dim}.yaml")
+    try:
+        with open(path) as fh:
+            return list(yaml.safe_load(fh)["seeds"])
+    except Exception:
+        return [319, 9313, 332, 261, 266]
+
+
+def _ref_baseline_mean(dim: int):
+    """Measured reference mean solve seconds for maxcut at ``dim``."""
+    fresh = os.path.join(REPO, "results", "ref_baseline",
+                         f"maxcut_{dim}.json")
+    committed = os.path.join(REPO, "BASELINE_MEASURED.json")
+    try:
+        with open(fresh) as fh:
+            times = json.load(fh)["results"]["runtimes"][0]
+        return float(np.mean(times))
+    except Exception:
+        pass
+    try:
+        with open(committed) as fh:
+            rec = json.load(fh)["maxcut"].get(str(dim))
+        return float(rec["mean_s"]) if rec else None
+    except Exception:
+        return None
+
+
+def _tpu_reachable() -> bool:
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    try:
+        import jax
+
+        return any(d.platform == "tpu" for d in jax.devices("axon"))
+    except Exception:
+        return False
 
 
 def _solve_once(dim: int, seed: int):
-    import time
-
-    import numpy as np
-
     from ttipm_tpu.models.maxcut import create_problem
     from ttipm_tpu.ipm import tt_ipm
     from ttipm_tpu.ops.tt import tt_inner_prod, tt_reshape
@@ -72,7 +113,9 @@ def _solve_once(dim: int, seed: int):
 
 def main() -> int:
     grid_spec = os.environ.get("BENCH_GRID", DEFAULT_GRID)
-    platform = os.environ.get("BENCH_PLATFORM", "cpu")
+    platform = os.environ.get("BENCH_PLATFORM", "")
+    if not platform:
+        platform = "offload-f32" if _tpu_reachable() else "cpu"
     if platform == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_backend_optimization_level" not in flags:
@@ -97,19 +140,23 @@ def main() -> int:
         ttipm_config.set_offload("axon")
     if platform == "offload-f32":
         # TPU performance profile: MXU-native f32 (highest matmul
-        # precision), whole-solve device loop, eps floors rescaled
+        # precision), whole-solve + whole-eigen device programs, native
+        # step-size pencil dtype, eps floors rescaled
         import jax.numpy as jnp
 
         ttipm_config.set_dtype(jnp.float32)
+        ttipm_config.set_eigen_dtype("native")
 
     all_ok = True
     times = []
+    ratios = []
     for part in grid_spec.split(","):
         dim_s, _, nseeds_s = part.partition(":")
         dim = int(dim_s)
         nseeds = int(nseeds_s or "1")
         dim_times = []
-        for seed in SEED_POOL[:nseeds]:
+        ref_mean = _ref_baseline_mean(dim)
+        for seed in _config_seeds(dim)[:nseeds]:
             elapsed, slack, iters = _solve_once(dim, seed)
             converged = slack < 1e-3
             all_ok = all_ok and converged
@@ -124,20 +171,24 @@ def main() -> int:
                         "iters": iters,
                         "converged": converged,
                         "platform": platform,
-                        "vs_baseline": None,
+                        "vs_baseline": (
+                            round(ref_mean / elapsed, 3) if ref_mean else None
+                        ),
                     }
                 ),
                 flush=True,
             )
-        times.append(
-            {
-                "dim": dim,
-                "mean": float(np.mean(dim_times)),
-                "std": float(np.std(dim_times)),
-            }
-        )
+        mean_t = float(np.mean(dim_times))
+        times.append({"dim": dim, "mean": mean_t,
+                      "std": float(np.std(dim_times)),
+                      "ref_mean": ref_mean})
+        if ref_mean:
+            ratios.append(ref_mean / mean_t)
 
     geomean = float(np.exp(np.mean([np.log(t["mean"]) for t in times])))
+    vs_baseline = (
+        round(float(np.exp(np.mean(np.log(ratios)))), 3) if ratios else None
+    )
     # the driver parses the LAST stdout line
     print(
         json.dumps(
@@ -148,7 +199,10 @@ def main() -> int:
                 "grid": times,
                 "platform": platform,
                 "converged_all": all_ok,
-                "vs_baseline": None,
+                # geomean of measured (reference seconds / our seconds);
+                # >1 means faster than the measured Cython reference on
+                # this host (see scripts/ref_baseline.py)
+                "vs_baseline": vs_baseline,
             }
         ),
         flush=True,

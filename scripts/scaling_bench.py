@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Mesh scaling proxy: batched full Newton steps at 1/2/4/8 virtual devices.
+
+Weak scaling over the 'seeds' axis: N independent instances on an
+N-device mesh; ideal efficiency keeps wall time flat as N grows.  On this
+CPU-virtual-device host the devices share the physical cores, so the
+meaningful numbers are (a) per-device program structure (one vmapped
+program regardless of N — verified by dispatch counts), and (b) the
+normalized efficiency against the host's physical core budget, reported
+alongside raw wall times.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python scripts/scaling_bench.py
+Writes results/scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from ttipm_tpu import config as cfg
+
+cfg.enable_persistent_cache()
+
+from ttipm_tpu.ops.tt import tt_identity, tt_scale
+from ttipm_tpu.parallel.fused_mesh import make_mesh, tt_newton_step_batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "results", "scaling.json")
+
+
+def make_instances(n: int, d: int = 3):
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import conftest  # noqa: F401  (forces CPU platform defaults)
+    from test_fused import _make_kkt_system
+
+    systems, Xs, Zs = [], [], []
+    for i in range(n):
+        rng = np.random.RandomState(100 + i)
+        systems.append(_make_kkt_system(d, rng))
+        Xs.append(tt_scale(1.0 + 0.05 * i, tt_identity(d)))
+        Zs.append(tt_scale(2.0, tt_identity(d)))
+    return systems, Xs, Zs
+
+
+def main() -> None:
+    d = int(os.environ.get("SCALING_D", "3"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    rows = []
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > len(jax.devices()):
+            continue
+        mesh = make_mesh(n_dev, kkt=1)
+        systems, Xs, Zs = make_instances(n_dev, d)
+        # warm (compile)
+        tt_newton_step_batch(systems, Xs, Zs, mesh=mesh, R=12, seed=1)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            xs, zs, _dirs = tt_newton_step_batch(
+                systems, Xs, Zs, mesh=mesh, R=12, seed=1
+            )
+        dt = (time.perf_counter() - t0) / reps
+        rows.append({
+            "devices": n_dev,
+            "instances": n_dev,
+            "newton_step_s": round(dt, 3),
+            "steps_per_s": round(n_dev / dt, 3),
+            "x_steps": [round(float(v), 4) for v in xs],
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    base = rows[0]["newton_step_s"]
+    ncpu = os.cpu_count() or 1
+    for r in rows:
+        # weak-scaling efficiency: ideal = flat wall time (on real chips);
+        # cpu_normalized divides out the physical oversubscription factor
+        r["weak_efficiency"] = round(base / r["newton_step_s"], 3)
+        over = max(1.0, r["devices"] / ncpu)
+        r["cpu_normalized_efficiency"] = round(
+            base / r["newton_step_s"] * over, 3
+        )
+    out = {"physical_cpus": ncpu, "d": d, "rows": rows}
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ from ttipm_tpu import config as cfg
 cfg.enable_persistent_cache()
 cfg.set_offload("axon")
 cfg.set_dtype(jnp.float32)
+# Native-dtype step-size pencils: required by the whole-eigen device
+# program (f64 would lower to Jacobi rotation loops, 19-min remote
+# compiles); e2e-validated on CPU with the scale-aware penalty floor
+# (maxcut d3/d4/d5 converge, BASELINE.md round 3).
+cfg.set_eigen_dtype("native")
 
 from ttipm_tpu.ipm import tt_ipm
 from ttipm_tpu.models.maxcut import create_problem
@@ -59,12 +64,24 @@ def solve(dim: int, seed: int = 319):
             "converged": bool(slack < 1e-3)}
 
 
+def _config_seed(dim: int) -> int:
+    import yaml
+
+    path = os.path.join(os.path.dirname(OUT), "..", "configs",
+                        f"maxcut_{dim}.yaml")
+    try:
+        with open(os.path.normpath(path)) as fh:
+            return int(yaml.safe_load(fh)["seeds"][0])
+    except Exception:
+        return 319
+
+
 def main():
     dims = [int(a) for a in sys.argv[1:]] or [3, 4, 5]
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     for dim in dims:
         try:
-            rec = solve(dim)
+            rec = solve(dim, _config_seed(dim))
         except Exception as e:  # noqa: BLE001 — record the failure and go on
             rec = {"problem": "maxcut", "dim": dim,
                    "platform": "offload-f32", "error": str(e)[:200]}

@@ -99,3 +99,76 @@ def test_fused_batch_on_mesh_matches_single():
     rn_single = _fused_residual_norm(A, b, list(x_single), ineq=False)
     rn_batch = _fused_residual_norm(A, b, list(xs[0]), ineq=False)
     assert rn_batch < max(10 * rn_single, 1e-8 * systems[0][1].norm)
+
+
+def test_step_sizes_batch_matches_single(mesh8):
+    """tt_step_sizes_batch (vmapped whole-eigen device program over the
+    seeds axis) must reproduce the single-instance fused eigensolver."""
+    from ttipm_tpu.ops.random import tt_random_gaussian
+    from ttipm_tpu.ops.products import tt_fast_mat_mat_mul
+    from ttipm_tpu.ops.tt import tt_add, tt_identity, tt_scale, tt_transpose
+    from ttipm_tpu.parallel.fused_mesh import tt_step_sizes_batch
+    from ttipm_tpu.solvers.fused_eigen import tt_max_generalised_eigen_fused
+
+    pencils = []
+    for seed in (0, 1, 2, 3):
+        d = 4
+        np.random.seed(seed)
+        B = tt_random_gaussian([2] * (d - 1), (2, 2))
+        A_tt = tt_add(
+            tt_fast_mat_mat_mul(B, tt_transpose(B), 1e-12),
+            tt_scale(0.5, tt_identity(d)),
+        )
+        np.random.seed(seed + 50)
+        Dl = tt_random_gaussian([2] * (d - 1), (2, 2))
+        D_tt = tt_add(
+            tt_add(tt_scale(0.5, Dl), tt_scale(0.5, tt_transpose(Dl))),
+            tt_scale(-0.3, tt_identity(d)),
+        )
+        pencils.append((A_tt, D_tt))
+
+    np.random.seed(7)
+    steps, warm = tt_step_sizes_batch(pencils, mesh=mesh8)
+
+    config.set_fused_whole_solve(True)
+    try:
+        for i, (A_tt, D_tt) in enumerate(pencils):
+            np.random.seed(7)
+            s_single, _ = tt_max_generalised_eigen_fused(A_tt, D_tt, tol=1e-8)
+            assert abs(steps[i] - s_single) <= 2e-6 * max(1.0, abs(s_single)), (
+                i, steps[i], s_single
+            )
+    finally:
+        config.set_fused_whole_solve(None)
+    assert all(np.isfinite(np.asarray(c)).all() for w in warm for c in w)
+
+
+def test_newton_step_batch_consistency(mesh8):
+    """tt_newton_step_batch: instance results must be independent of the
+    batch they ride in, steps must be valid cone steps, and the predictor
+    direction must reduce the duality gap estimate."""
+    from test_fused import _make_kkt_system
+    from ttipm_tpu.ops.tt import tt_identity, tt_inner_prod, tt_scale
+    from ttipm_tpu.parallel.fused_mesh import tt_newton_step_batch
+
+    d = 3
+    systems, Xs, Zs = [], [], []
+    for seed in (11, 12, 13):
+        rng = np.random.RandomState(seed)
+        systems.append(_make_kkt_system(d, rng))
+        Xs.append(tt_scale(1.0 + 0.1 * seed, tt_identity(d)))
+        Zs.append(tt_scale(2.0, tt_identity(d)))
+
+    xs3, zs3, dirs3 = tt_newton_step_batch(
+        systems, Xs, Zs, mesh=mesh8, R=12, seed=5
+    )
+    xs1, zs1, dirs1 = tt_newton_step_batch(
+        systems[:1], Xs[:1], Zs[:1], mesh=None, R=12, seed=5
+    )
+    assert abs(xs3[0] - xs1[0]) < 1e-5 * max(1.0, abs(xs1[0]))
+    assert abs(zs3[0] - zs1[0]) < 1e-5 * max(1.0, abs(zs1[0]))
+    for (dY, dX, dZ) in dirs3:
+        for t in (dY, dX, dZ):
+            assert all(np.isfinite(np.asarray(c)).all() for c in t)
+    assert np.all(xs3 > 0) and np.all(xs3 <= 1.0)
+    assert np.all(zs3 > 0) and np.all(zs3 <= 1.0)

@@ -536,7 +536,7 @@ def _bucket4(r: int) -> int:
     return ((int(r) + 3) // 4) * 4
 
 
-def _prep_operator(cores, d: int) -> List[jax.Array]:
+def _prep_operator(cores, d: int, ra: Optional[int] = None) -> List[jax.Array]:
     # config.eigen_dtype() decides the pencil precision.  Default f64:
     # the step-size pencil (largest alpha with A + alpha*Delta PSD)
     # determines a boundary crossing from near-zero eigenvalues, and
@@ -549,7 +549,8 @@ def _prep_operator(cores, d: int) -> List[jax.Array]:
     cs = [np.asarray(c, dtype=config.eigen_dtype()) for c in cores]
     if d == 1:
         return [jnp.asarray(cs[0])]
-    ra = _bucket4(max(c.shape[-1] for c in cs[:-1]))
+    ra_min = _bucket4(max(c.shape[-1] for c in cs[:-1]))
+    ra = ra_min if ra is None else max(int(ra), ra_min)
     out = []
     for k, c in enumerate(cs):
         rl = 1 if k == 0 else ra
@@ -647,7 +648,16 @@ def _tt_max_generalised_eigen_fused_impl(
         # penalising it crushes CORRECT f32 steps — measured 2026-08-20:
         # maxcut d4 f32-native took 15 iterations with the absolute floor
         # vs 7 in f64.
-        eps_dt = float(jnp.finfo(edt).eps)
+        # The achievable residual is floored by the COARSER of the iterate
+        # representation dtype (config.dtype() — the pencil operands were
+        # rounded to it) and the pencil compute dtype.  Flooring by the
+        # compute dtype alone reintroduced round-2 root-cause #2: under
+        # the f32 profile with f64 pencils the f64 floor (6.7e-15) let
+        # tol=1e-8 penalise the ~5e-8 input-representation residual floor
+        # and crushed correct steps 5x per iteration (measured: maxcut d3
+        # f32 diverged to slackness 2.6 in 21 iterations).
+        eps_dt = max(float(jnp.finfo(edt).eps),
+                     float(jnp.finfo(config.dtype()).eps))
         tol = max(tol, 30.0 * eps_dt, 4.0 * eps_dt * float(scl))
         if max_res > tol and np.isfinite(max_res) and max_res > 0:
             step_size *= tol / max_res
@@ -777,7 +787,10 @@ def _tt_max_generalised_eigen_fused_impl(
     # penalty silently crushed CORRECT step sizes 4-16x per iteration
     # (measured 2026-08-19: step 1.0 -> 0.23 at maxcut d3 iteration 0,
     # stalling the IPM at slackness 1e-2).
-    eps_dt = float(jnp.finfo(config.eigen_dtype()).eps)
+    # floor by the coarser of representation and compute dtype (see the
+    # whole-eigen branch above)
+    eps_dt = max(float(jnp.finfo(config.eigen_dtype()).eps),
+                 float(jnp.finfo(config.dtype()).eps))
     tol = max(tol, 30.0 * eps_dt, 4.0 * eps_dt * max_scale)
     if max_res > tol and np.isfinite(max_res) and max_res > 0:
         step_size *= tol / max_res
