@@ -86,3 +86,37 @@ def test_qr_reduced_dispatch():
         qn, rn = np.asarray(q), np.asarray(r)
         assert np.abs(qn @ rn - np.asarray(a)).max() < 1e-5
         assert np.abs(qn.T @ qn - np.eye(10)).max() < 1e-5
+
+
+def test_panel_cholesky_matches_contract():
+    """panel_cholesky (interpret): L lower-triangular, L L^T == A, and
+    identical to jnp.linalg.cholesky through the dispatch."""
+    from ttipm_tpu.ops import kernels as K
+
+    for n in (4, 12, 32, 96, 200):
+        rng = np.random.RandomState(n)
+        B = rng.randn(n, n).astype(np.float32)
+        A = jnp.asarray(B @ B.T + n * np.eye(n, dtype=np.float32))
+        L = np.asarray(K.panel_cholesky(A, interpret=True))
+        assert np.allclose(L, np.tril(L))
+        rel = np.linalg.norm(L @ L.T - np.asarray(A)) / np.linalg.norm(
+            np.asarray(A)
+        )
+        assert rel < 5e-6, (n, rel)
+        Lx = np.asarray(jnp.linalg.cholesky(A))
+        assert np.abs(L - Lx).max() < 1e-3 * np.abs(Lx).max()
+
+
+def test_cholesky_lower_dispatch():
+    from ttipm_tpu.ops import kernels as K
+
+    rng = np.random.RandomState(7)
+    B = rng.randn(24, 24).astype(np.float32)
+    A = jnp.asarray(B @ B.T + 24 * np.eye(24, dtype=np.float32))
+    L0 = K.cholesky_lower(A)          # disabled -> jnp.linalg.cholesky
+    K.set_panel_qr(True)
+    try:
+        L1 = K.cholesky_lower(A, interpret=True)
+    finally:
+        K.set_panel_qr(False)
+    assert np.abs(np.asarray(L0) - np.asarray(L1)).max() < 1e-4

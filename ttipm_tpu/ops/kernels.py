@@ -244,3 +244,70 @@ def set_panel_qr(flag: bool) -> None:
 
 def _panel_qr_enabled() -> bool:
     return _PANEL_QR
+
+
+# ---------------------------------------------------------------------------
+# Panel Cholesky: VMEM-resident column-elimination factorization of an SPD
+# matrix (the fused Schur chain's hot factorization: L_Z blocks and the
+# eigen shrink pencil, solvers/fused.py:207, fused_eigen.py:65).  Same
+# Mosaic-legal construction discipline as panel_qr: one-hot column masks,
+# (1, 1) scalars, rank-1 updates; the column loop unrolls at trace time.
+# Parity target: cy_src/lgmres_cy.pyx:28-192's dense micro-kernels /
+# LAPACK dpotrf in the reference's local solves (src/tt_ipm.py:196-223).
+# ---------------------------------------------------------------------------
+
+
+def _panel_cholesky_kernel(a_ref, l_ref, *, n):
+    f32 = a_ref.dtype
+    A = a_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    tiny = jnp.asarray(1e-30, f32)
+
+    L = jnp.zeros((n, n), dtype=f32)
+    for j in range(n):
+        oh_c = (col == j).astype(f32)                  # (1, n)
+        oh_r = (row == j).astype(f32)                  # (n, 1)
+        col_j = jnp.sum(A * oh_c, axis=1, keepdims=True)   # (n, 1)
+        ajj = jnp.sum(col_j * oh_r, axis=0, keepdims=True)  # (1, 1)
+        piv = jnp.sqrt(jnp.maximum(ajj, tiny))
+        below = (row > j).astype(f32)
+        l_j = (col_j / piv) * below + piv * oh_r       # (n, 1) L[:, j]
+        L = L + l_j * oh_c                             # write column j
+        # (n,1)->(1,n) via 2-D transpose (Mosaic-supported; cross-lane
+        # reshapes are not)
+        A = A - l_j * jnp.transpose(l_j)               # SYRK rank-1 update
+    l_ref[:] = L.astype(l_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def panel_cholesky(a, interpret: bool = False):
+    """Lower Cholesky factor of an SPD matrix via one VMEM-resident Pallas
+    kernel; contract of ``jnp.linalg.cholesky``.  Envelope: n <= 256 f32
+    (the fused local Schur blocks); dispatch via ``cholesky_lower``."""
+    n = a.shape[0]
+    np_ = max(8, -(-n // 8) * 8)
+    if np_ != n:
+        # identity-pad: chol(blockdiag(A, I)) == blockdiag(chol(A), I)
+        pad = jnp.eye(np_, dtype=a.dtype).at[:n, :n].set(a)
+        a = pad
+    L = pl.pallas_call(
+        functools.partial(_panel_cholesky_kernel, n=np_),
+        out_shape=jax.ShapeDtypeStruct((np_, np_), a.dtype),
+        interpret=interpret,
+    )(a)
+    return L[:n, :n]
+
+
+def cholesky_lower(a, interpret: bool = False):
+    """Cholesky dispatch: the Pallas panel kernel inside its envelope on
+    TPU-bound f32 traces (same gating discipline as qr_reduced),
+    ``jnp.linalg.cholesky`` everywhere else."""
+    n = a.shape[0]
+    if (a.dtype == jnp.float32 and a.ndim == 2 and n <= 256
+            and _panel_qr_enabled()):
+        from ttipm_tpu.ops.jacobi import _targets_tpu
+
+        if interpret or _targets_tpu():
+            return panel_cholesky(a, interpret=interpret)
+    return jnp.linalg.cholesky(a)
