@@ -112,10 +112,14 @@ def _solve_once(dim: int, seed: int):
 
 
 def main() -> int:
-    grid_spec = os.environ.get("BENCH_GRID", DEFAULT_GRID)
     platform = os.environ.get("BENCH_PLATFORM", "")
     if not platform:
         platform = "offload-f32" if _tpu_reachable() else "cpu"
+    # On-chip default grid: the dims whose programs scripts/tpu_bench.py
+    # pre-compiled into the persistent cache (a cold remote compile costs
+    # ~2 min/program over the flaky tunnel and would dominate the bench).
+    default_grid = "3:1,4:1,5:1" if platform == "offload-f32" else DEFAULT_GRID
+    grid_spec = os.environ.get("BENCH_GRID", default_grid)
     if platform == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_backend_optimization_level" not in flags:
