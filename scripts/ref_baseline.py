@@ -168,6 +168,71 @@ def build() -> None:
         fh.write("def memory_usage(*a, **k):\n"
                  "    raise RuntimeError('memory_profiler stub')\n")
 
+    # Environment-compat shim: this image's numpy 2.0.2 cannot coerce the
+    # Cython-3.2-generated _memoryviewslice returned by the lgmres_cy
+    # matvecs (numpy 2.4 in the reference env could), which killed every
+    # inequality-path solve ("Cannot convert ..._memoryviewslice to
+    # numpy.ndarray" -> IPM recovery -> 2-iteration bailout).  Routing
+    # through the buffer protocol (np.asarray(memoryview(x))) restores
+    # the reference behavior without touching its algorithm.
+    ipm_py = os.path.join(refcopy, "src", "tt_ipm.py")
+    with open(ipm_py) as fh:
+        src = fh.read()
+    if "_np_from_mv" not in src:
+        src = src.replace(
+            "from petsc4py import PETSc",
+            "from petsc4py import PETSc\n\n\n"
+            "def _np_from_mv(x):\n"
+            "    return np.asarray(memoryview(x))\n",
+        )
+        src = src.replace(
+            "local_vec = matvec_wrapper.matvec(np.transpose("
+            "previous_solution[:, :2], (1, 0, 2, 3)).flatten())",
+            "local_vec = _np_from_mv(matvec_wrapper.matvec(np.transpose("
+            "previous_solution[:, :2], (1, 0, 2, 3)).flatten()))",
+        )
+        src = src.replace(
+            "local_vec = matvec_wrapper.matvec(np.transpose("
+            "previous_solution[:, [0, 1, 3]], (1, 0, 2, 3)).flatten())",
+            "local_vec = _np_from_mv(matvec_wrapper.matvec(np.transpose("
+            "previous_solution[:, [0, 1, 3]], (1, 0, 2, 3)).flatten()))",
+        )
+        src = src.replace(
+            "y.array_w[:] = self.matvec_object.matvec(self.x_buffer)",
+            "y.array_w[:] = _np_from_mv("
+            "self.matvec_object.matvec(self.x_buffer))",
+        )
+        with open(ipm_py, "w") as fh:
+            fh.write(src)
+
+    # Second half of the shim: the generated lgmres_cy.cpp declares the
+    # matvecs `cpdef cnp.ndarray matvec` but returns the `double[:]`
+    # attribute; this codegen's return conversion is a pure __Pyx_TypeTest
+    # (no coercion), so every call raised TypeError regardless of numpy.
+    # Make the TypeTest permissive in THIS module only — the wrapped
+    # callers above convert the returned memoryview via the buffer
+    # protocol, restoring the intended semantics.
+    lg_cpp = os.path.join(refcopy, "cy_src", "lgmres_cy.cpp")
+    with open(lg_cpp) as fh:
+        cpp = fh.read()
+    marker = "/* ttipm baseline shim */"
+    if marker not in cpp:
+        cpp = cpp.replace(
+            "    if (likely(__Pyx_TypeCheck(obj, type)))\n"
+            "        return 1;\n"
+            "    obj_type_name = "
+            "__Pyx_PyType_GetFullyQualifiedName(Py_TYPE(obj));",
+            "    if (likely(__Pyx_TypeCheck(obj, type)))\n"
+            "        return 1;\n"
+            "    if (1) return 1; " + marker + "\n"
+            "    obj_type_name = "
+            "__Pyx_PyType_GetFullyQualifiedName(Py_TYPE(obj));",
+            1,
+        )
+        assert marker in cpp, "TypeTest patch site not found"
+        with open(lg_cpp, "w") as fh:
+            fh.write(cpp)
+
     inc_py = sysconfig.get_paths()["include"]
     inc_np = np.get_include()
     for mod in ("tt_ops_cy", "lgmres_cy"):
