@@ -16,7 +16,14 @@ DST = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 
 def main() -> None:
+    # Merge into the committed file: sessions run on fresh disks, so the
+    # results/ dir holds only this session's runs — prior measured dims
+    # must survive unless re-measured.
     out = {}
+    if os.path.exists(DST):
+        with open(DST) as fh:
+            prior = json.load(fh)
+        out = {k: v for k, v in prior.items() if k != "host"}
     host = {
         "cpus": os.cpu_count(),
         "note": (
@@ -48,6 +55,10 @@ def main() -> None:
                 worst_slackness=float(f"{slack.max():.3e}"),
                 converged_all=bool((slack < 1e-3).all()),
             )
+        # don't let a timeout/failure record clobber a prior full result
+        prior_entry = out.get(problem, {}).get(dim)
+        if res is None and prior_entry and "mean_s" in prior_entry:
+            continue
         out.setdefault(problem, {})[dim] = entry
     payload = {"host": host, **out}
     with open(DST, "w") as fh:
