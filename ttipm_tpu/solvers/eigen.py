@@ -358,7 +358,7 @@ def _step_size_window_solve(
     """Smallest-eig window solve for ``(1/alpha) A + Delta`` with the
     shrink-on-negative rule (src/tt_als.py:931-1038)."""
     if (not np.isfinite(step_size)) or step_size <= 0:
-        return sol1, sol2, 0.0, np.inf
+        return sol1, sol2, 0.0, np.inf, 0.0
 
     prev = jnp.einsum("rny,ytR->rntR", sol1, sol2)
     shape = prev.shape
@@ -392,6 +392,13 @@ def _step_size_window_solve(
     Mp = mv_A(prev_vec) / denom + mv_D(prev_vec)
     lam_prev = jnp.vdot(prev_vec, Mp)
     old_res = float(jnp.linalg.norm(Mp - lam_prev * prev_vec))
+    # ||M p|| for a unit previous iterate: a cheap lower bound on the
+    # window pencil's norm, used by the driver to floor the unconverged-
+    # solve penalty tolerance at the dtype's achievable residual (same
+    # scale-aware rule as fused_eigen.py; at large d the pencil norms grow
+    # with the iterate norms and an absolute tol=1e-8 floor penalises
+    # residuals that are already at this dtype's rounding noise).
+    scale = float(jnp.linalg.norm(Mp))
 
     sol_vec = sol_vec / jnp.maximum(jnp.linalg.norm(sol_vec), TINY)
     mat = sol_vec.reshape(int(np.prod(shape[:2])), int(np.prod(shape[2:])))
@@ -412,7 +419,7 @@ def _step_size_window_solve(
         s1, s2, r = pad_bond_factors(s1, s2, r)
         sol1_new = s1.reshape(shape[0], shape[1], r)
         sol2_new = s2.reshape(r, shape[2], shape[3])
-    return sol1_new, sol2_new, float(step_size), old_res
+    return sol1_new, sol2_new, float(step_size), old_res, scale
 
 
 def _step_size_last_solve(prev, XDX_l, D_k, XDX_r, XAX_l, A_k, XAX_r, step_size, eps):
@@ -491,6 +498,7 @@ def tt_max_generalised_eigen(
     trunc_tol = tol / np.sqrt(d)
     prev_sweep_step = None
     prev_sweep_res = np.inf
+    max_scale = 0.0
 
     def finish_fwd():
         nonlocal step_size
@@ -545,13 +553,16 @@ def tt_max_generalised_eigen(
         # Backward half sweep over 2-core windows
         for k in range(d - 1, 0, -1):
             if swp > 0:
-                x_cores[k - 1], x_cores[k], step_size, res = _step_size_window_solve(
-                    x_cores[k - 1], x_cores[k],
-                    XAX[k - 1], A[k - 1], A[k], XAX[k + 1],
-                    XDX[k - 1], Delta[k - 1], Delta[k], XDX[k + 1],
-                    step_size, trunc_tol, tol, max_rank, rng, bwd=True,
+                x_cores[k - 1], x_cores[k], step_size, res, scl = (
+                    _step_size_window_solve(
+                        x_cores[k - 1], x_cores[k],
+                        XAX[k - 1], A[k - 1], A[k], XAX[k + 1],
+                        XDX[k - 1], Delta[k - 1], Delta[k], XDX[k + 1],
+                        step_size, trunc_tol, tol, max_rank, rng, bwd=True,
+                    )
                 )
                 local_res[0, k - 1] = res
+                max_scale = max(max_scale, scl)
                 if step_size <= 0:
                     zero_step = True
                     break
@@ -574,13 +585,16 @@ def tt_max_generalised_eigen(
 
         # Forward half sweep
         for k in range(d - 1):
-            x_cores[k], x_cores[k + 1], step_size, res = _step_size_window_solve(
-                x_cores[k], x_cores[k + 1],
-                XAX[k], A[k], A[k + 1], XAX[k + 2],
-                XDX[k], Delta[k], Delta[k + 1], XDX[k + 2],
-                step_size, trunc_tol, tol, max_rank, rng, bwd=False,
+            x_cores[k], x_cores[k + 1], step_size, res, scl = (
+                _step_size_window_solve(
+                    x_cores[k], x_cores[k + 1],
+                    XAX[k], A[k], A[k + 1], XAX[k + 2],
+                    XDX[k], Delta[k], Delta[k + 1], XDX[k + 2],
+                    step_size, trunc_tol, tol, max_rank, rng, bwd=False,
+                )
             )
             local_res[1, k] = res
+            max_scale = max(max_scale, scl)
             if step_size <= 0:
                 zero_step = True
                 break
@@ -610,7 +624,16 @@ def tt_max_generalised_eigen(
     # penalty silently crushed CORRECT step sizes 4-16x per iteration
     # (measured 2026-08-19: step 1.0 -> 0.23 at maxcut d3 iteration 0,
     # stalling the IPM at slackness 1e-2).
-    tol = max(tol, 30.0 * float(jnp.finfo(config.dtype()).eps))
+    # Scale-aware floor (same rule as fused_eigen.py): a residual at
+    # 4*eps*||M|| is this dtype's rounding noise for the window pencils —
+    # at large d the pencil norms grow with the iterate norms and the
+    # reference's absolute tol=1e-8 would penalise converged solves
+    # (measured at maxcut d11: pencil scales ~1e2, achievable residual
+    # above 1e-8, steps crushed every iteration).
+    eps_dt = float(jnp.finfo(config.dtype()).eps)
+    if A and hasattr(A[0], "dtype"):
+        eps_dt = max(eps_dt, float(jnp.finfo(A[0].dtype).eps))
+    tol = max(tol, 30.0 * eps_dt, 4.0 * eps_dt * max_scale)
     if max_res > tol and np.isfinite(max_res) and max_res > 0:
         step_size *= tol / max_res
     return step_size, x_cores
