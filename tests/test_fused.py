@@ -109,6 +109,64 @@ def test_fused_amen_solves_kkt_system():
     assert rn2 < rhs.norm
 
 
+def test_block_train_add_mixed_positions():
+    """tt_block_train_add: dense-oracle sum for block trains whose block
+    cores sit at opposite ends (each solve parks it at whichever boundary
+    its final sweep ended on)."""
+    from ttipm_tpu.ops.tt import tt_matrix_to_matrix
+    from ttipm_tpu.solvers.blocks import tt_block_train_add, tt_get_block
+
+    rng = np.random.RandomState(5)
+    d, bs = 3, 3
+    x = _block_train_random(d, bs, rng)  # block core at the last position
+    e = [jnp.asarray(rng.randn(1, bs, 4, 2))]  # block core at the first
+    e += [jnp.asarray(rng.randn(2, 4, 2)) for _ in range(d - 2)]
+    e += [jnp.asarray(rng.randn(2, 4, 1))]
+
+    s = tt_block_train_add(x, e, bs, eps=1e-13)
+
+    def dense(block_train, i):
+        blk = tt_get_block(i, list(block_train))
+        return np.asarray(
+            tt_matrix_to_matrix(tt_reshape(blk, (2, 2)))
+        )
+
+    for i in range(bs):
+        np.testing.assert_allclose(
+            dense(s, i), dense(x, i) + dense(e, i), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_fused_refinement_reaches_target():
+    """Residual-equation refinement: with a loose termination tolerance
+    the accepted direction carries eta-level noise; refinement rounds must
+    drive the true absolute residual to the requested target (the
+    mechanism that keeps PSD-shift slack injection below abs_tol at large
+    d — config.py::newton_refine)."""
+    rng = np.random.RandomState(2)
+    d = 3
+    lhs, rhs = _make_kkt_system(d, rng)
+    A = _prep_operator(lhs, d, ineq=False)
+    b = _prep_rhs(rhs, d, ineq=False)
+
+    x_loose, _ = tt_restarted_block_amen_fused(
+        lhs, rhs, rank_restriction=64, op_tol=1e-8, ineq=False,
+        termination_tol=1e-2, num_restarts=3, inner_m=10,
+    )
+    rn_loose = _fused_residual_norm(A, b, x_loose, ineq=False)
+
+    target = 1e-6 * rhs.norm
+    x_ref, _ = tt_restarted_block_amen_fused(
+        lhs, rhs, rank_restriction=64, op_tol=1e-8, ineq=False,
+        termination_tol=1e-2, num_restarts=3, inner_m=10,
+        refine_target=target,
+    )
+    rn_ref = _fused_residual_norm(A, b, x_ref, ineq=False)
+    # each round multiplies the residual by ~termination_tol until the
+    # fixed-rank floor; require at least a 20x true-residual improvement
+    assert rn_ref < 0.05 * rn_loose
+
+
 def test_fused_device_loop_matches_host_loop():
     """The whole-solve device program (_solve_program: warmup + peeled
     sweeps + lax.while_loop pairs + finisher, one dispatch per solve) must

@@ -242,6 +242,27 @@ def fused_kkt() -> bool:
     return _FUSED_KKT
 
 
+# Residual-equation refinement of accepted Newton directions (solvers/
+# fused.py and amen.py `refine_target`): direction noise of magnitude rn
+# injects ~rn * tr(X) ~ rn * 2^d of complementary slackness through the
+# PSD-rounding compensation shifts, flooring the achievable absolute gap
+# at large d (measured: maxcut d11 f64 stalls at 1e-2, maxcut d5 f32
+# at ~5e-3, while the reference converges — its rank-adaptive sweeps
+# reach machine-precision residuals that a fixed-rank or f32 solve
+# cannot).  Refinement solves A e = b - A x and adds e back; the unknown
+# is small, so each round multiplies the absolute residual by ~eta.
+_NEWTON_REFINE = True
+
+
+def set_newton_refine(flag: bool) -> None:
+    global _NEWTON_REFINE
+    _NEWTON_REFINE = bool(flag)
+
+
+def newton_refine() -> bool:
+    return _NEWTON_REFINE
+
+
 def set_rank_bucket(bucket: int) -> None:
     global _RANK_BUCKET
     _RANK_BUCKET = max(int(bucket), 1)

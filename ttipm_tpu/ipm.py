@@ -160,6 +160,11 @@ class IPMStatus:
     kkt_iterations: int = 7
     centrl_error_normalisation: float = 1.0
     eta: float = 1e-3
+    # Absolute Newton-residual target for the solver's residual-equation
+    # refinement rounds: direction noise of magnitude rn injects
+    # ~rn * tr(X or Z) of complementary slackness through the PSD-rounding
+    # compensation shifts, so the target scales as abs_tol / trace.
+    refine_target: Optional[float] = None
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +400,7 @@ def _solve_kkt(solver, lhs, rhs, status):
         lhs, rhs, status.mals_delta0,
         status.kkt_iterations + status.is_last_iter,
         status.mals_rank_restriction, status.eta,
+        refine_target=status.refine_target,
     )
     status.mals_delta0 = Delta_tt
     return Delta_tt
@@ -781,7 +787,8 @@ def tt_ipm(
             # rank-adaptive ragged sweep instead of re-paying the ladder.
             state = {"fused_ok": True}
 
-            def ragged(lhs, rhs, x0, nwsp, restriction, termination_tol):
+            def ragged(lhs, rhs, x0, nwsp, restriction, termination_tol,
+                       refine_target=None):
                 return tt_restarted_block_amen(
                     lhs, rhs,
                     rank_restriction=restriction,
@@ -792,12 +799,14 @@ def tt_ipm(
                     num_restarts=mals_restarts,
                     inner_m=nwsp,
                     verbose=verbose,
+                    refine_target=refine_target,
                 )
 
-            def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
+            def solver(lhs, rhs, x0, nwsp, restriction, termination_tol,
+                       refine_target=None):
                 if not state["fused_ok"]:
                     return ragged(lhs, rhs, x0, nwsp, restriction,
-                                  termination_tol)
+                                  termination_tol, refine_target)
                 try:
                     return tt_restarted_block_amen_fused(
                         lhs, rhs,
@@ -809,6 +818,7 @@ def tt_ipm(
                         inner_m=nwsp,
                         x0=x0,
                         verbose=verbose,
+                        refine_target=refine_target,
                     )
                 except AmenRestartsExhausted:
                     state["fused_ok"] = False
@@ -816,10 +826,11 @@ def tt_ipm(
                         print("\t[fused] restarts exhausted -> ragged AMEn"
                               " (sticky)")
                     return ragged(lhs, rhs, x0, nwsp, restriction,
-                                  termination_tol)
+                                  termination_tol, refine_target)
             return solver
 
-        def solver(lhs, rhs, x0, nwsp, restriction, termination_tol):
+        def solver(lhs, rhs, x0, nwsp, restriction, termination_tol,
+                   refine_target=None):
             return tt_restarted_block_amen(
                 lhs, rhs,
                 rank_restriction=restriction,
@@ -830,6 +841,7 @@ def tt_ipm(
                 num_restarts=mals_restarts,
                 inner_m=nwsp,
                 verbose=verbose,
+                refine_target=refine_target,
             )
         return solver
 
@@ -904,6 +916,16 @@ def tt_ipm(
         status.centrality_error = status.mu / status.centrl_error_normalisation
         status.is_central = status.centrality_error < centrality_tol
         status.eta = max(min(status.eta, 2 * status.mu), status.op_tol)
+        # Newton-residual refinement target: keep the per-iteration slack
+        # injection of the PSD compensation shifts (~ rn * trace) an order
+        # below abs_tol (config.py::newton_refine rationale).
+        if _config.newton_refine():
+            tr_scale = max(
+                1.0, abs(float(tt_trace(X_tt))), abs(float(tt_trace(Z_tt)))
+            )
+            status.refine_target = 0.1 * abs_tol / tr_scale
+        else:
+            status.refine_target = None
 
         lhs_matrix_tt, rhs_vec_tt, status = tt_infeasible_newton_system(
             lhs, obj_tt, X_tt, Y_tt, Z_tt, T_tt, lin_op_tt, lin_op_tt_adj,

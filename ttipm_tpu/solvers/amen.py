@@ -699,10 +699,17 @@ def tt_restarted_block_amen(
     x0: Optional[TT] = None,
     local_solver: Optional[Callable] = None,
     verbose: bool = False,
+    refine_target: Optional[float] = None,
 ):
-    """Outer restart loop around ``tt_block_amen``: re-solve the residual
-    equation at enlarged rank until the global residual criterion holds
-    (src/tt_als.py:744-825)."""
+    """Outer restart loop around ``tt_block_amen``: warm-started re-solves
+    at enlarged rank until the global residual criterion holds
+    (src/tt_als.py:744-825).
+
+    ``refine_target`` (absolute residual) additionally enables
+    residual-equation refinement on the accepted solution — see
+    solvers/fused.py::tt_restarted_block_amen_fused for the rationale
+    (eta-level direction noise is amplified by tr ~ 2^d through the
+    PSD-rounding compensation shifts)."""
     if x0 is not None:
         dim = len(x0)
         x0 = tt_rank_retraction(list(x0), [dim] * (dim - 1))
@@ -732,12 +739,42 @@ def tt_restarted_block_amen(
             f"absolute tolerance already reached: {orig_rhs_norm:4f} < {op_tol:4f}"
         )
 
+    def refined(x_cores, res):
+        if refine_target is None:
+            return x_cores, res
+        from ttipm_tpu import config as _config
+        from ttipm_tpu.solvers.blocks import tt_block_train_add
+
+        num_blocks = int(
+            x_cores[int(np.argmax([c.ndim for c in x_cores]))].shape[1]
+        )
+        prod_tol = max(0.01 * refine_target, float(_config.clamp_eps(eps)))
+        rn = (rhs - block_A.block_product(x_cores, prod_tol)).norm
+        for _ in range(2):
+            if not np.isfinite(rn) or rn <= refine_target:
+                break
+            r_blk = rhs - block_A.block_product(x_cores, prod_tol)
+            try:
+                e_cores, _ = solve_als(r_blk, rank_restriction, None,
+                                       inner_m, 2)
+                x_new = tt_block_train_add(x_cores, e_cores, num_blocks, eps)
+            except Exception:
+                break
+            rn_new = (rhs - block_A.block_product(x_new, prod_tol)).norm
+            if not np.isfinite(rn_new) or rn_new >= 0.5 * rn:
+                break
+            if verbose:
+                print(f"\t[amen refine] res {rn:.3e} -> {rn_new:.3e}",
+                      flush=True)
+            x_cores, rn = x_new, rn_new
+        return x_cores, min(res, rn / max(orig_rhs_norm, 1e-300))
+
     x_cores, res = solve_als(rhs, rank_restriction, x0, inner_m, 2)
     if res < termination_tol:
-        return x_cores, res
+        return refined(x_cores, res)
     rhs_norm = residual_norm(rhs, x_cores)
     if rhs_norm < termination_tol * orig_rhs_norm or rhs_norm < orig_rhs_norm:
-        return x_cores, res
+        return refined(x_cores, res)
 
     for _ in range(1, num_restarts):
         dim = len(x_cores)
@@ -745,7 +782,7 @@ def tt_restarted_block_amen(
         x_cores, res = solve_als(rhs, rank_restriction + 4, x_cores, inner_m, 4)
         rhs_norm = residual_norm(rhs, x_cores)
         if rhs_norm < termination_tol * orig_rhs_norm or rhs_norm < orig_rhs_norm:
-            return x_cores, res
+            return refined(x_cores, res)
 
     raise AmenRestartsExhausted(
         f"restart budget exhausted, relative error {rhs_norm / orig_rhs_norm:.3e}; "

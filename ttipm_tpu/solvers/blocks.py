@@ -25,7 +25,9 @@ from ttipm_tpu import config
 from ttipm_tpu.ops.rounding import tt_rank_reduce
 from ttipm_tpu.ops.tt import TT, tt_add, tt_inner_prod, tt_scale, tt_sub, tt_transpose
 
-__all__ = ["TTBlockVector", "TTBlockMatrix", "tt_get_block"]
+__all__ = [
+    "TTBlockVector", "TTBlockMatrix", "tt_get_block", "tt_block_train_add",
+]
 
 
 def tt_get_block(i: int, block_train_tt: TT) -> TT:
@@ -33,6 +35,64 @@ def tt_get_block(i: int, block_train_tt: TT) -> TT:
     extra block axis is sliced; src/tt_als.py:12-14)."""
     b = int(np.argmax([c.ndim for c in block_train_tt]))
     return block_train_tt[:b] + [block_train_tt[b][:, i]] + block_train_tt[b + 1:]
+
+
+def tt_block_train_add(x_cores: TT, e_cores: TT, num_blocks: int,
+                       eps: float = 1e-12) -> TT:
+    """``x + e`` for two block TT solutions whose block cores may sit at
+    *different* positions (each solve parks it at whichever boundary its
+    final sweep ended on).
+
+    Per-block addition, then a diagonal re-stack at ``x``'s block
+    position: the stacked block core carries each block's core in its own
+    (row-slab, block, col-slab) and zeros elsewhere, so slicing block ``j``
+    routes exclusively through block ``j``'s bond slabs.  Ranks are the
+    per-block sums; the final rounding returns them to the true rank.
+    Used by the residual-refinement rounds of the Newton solvers (no
+    reference counterpart — the reference's restarts re-solve the original
+    system, src/tt_als.py:744-825)."""
+    d = len(x_cores)
+    pos = int(np.argmax([c.ndim for c in x_cores]))
+    n_phys = int(x_cores[pos].shape[2])
+    sums = [
+        tt_rank_reduce(
+            tt_add(tt_get_block(i, list(x_cores)), tt_get_block(i, list(e_cores))),
+            eps,
+        )
+        for i in range(num_blocks)
+    ]
+    sums = [[np.asarray(c) for c in blk] for blk in sums]
+    out: TT = []
+    for k in range(d):
+        cs = [blk[k] for blk in sums]
+        rls = [c.shape[0] for c in cs]
+        rrs = [c.shape[-1] for c in cs]
+        RL = sum(rls) if k > 0 else 1
+        RR = sum(rrs) if k < d - 1 else 1
+        dt = cs[0].dtype
+        if k == pos:
+            core = np.zeros((RL, num_blocks, n_phys, RR), dtype=dt)
+            ol = orr = 0
+            for i, c in enumerate(cs):
+                l0, l1 = (ol, ol + c.shape[0]) if k > 0 else (0, 1)
+                r0, r1 = (orr, orr + c.shape[-1]) if k < d - 1 else (0, 1)
+                core[l0:l1, i, :, r0:r1] = c.reshape(c.shape[0], n_phys, c.shape[-1])
+                ol += c.shape[0]
+                orr += c.shape[-1]
+        elif k == 0:
+            core = np.concatenate(cs, axis=-1)
+        elif k == d - 1:
+            core = np.concatenate(cs, axis=0)
+        else:
+            mid = cs[0].shape[1:-1]
+            core = np.zeros((RL,) + mid + (RR,), dtype=dt)
+            ol = orr = 0
+            for c in cs:
+                core[ol:ol + c.shape[0], ..., orr:orr + c.shape[-1]] = c
+                ol += c.shape[0]
+                orr += c.shape[-1]
+        out.append(jnp.asarray(core))
+    return tt_rank_reduce(out, eps)
 
 
 class TTBlockVector:

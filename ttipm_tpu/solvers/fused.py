@@ -1205,10 +1205,23 @@ def tt_restarted_block_amen_fused(
     inner_m: int = 10,
     x0=None,
     verbose: bool = False,
+    refine_target: Optional[float] = None,
 ):
     """Restart loop for the fused solver: rank escalates by 4 per restart
     (src/tt_als.py:744-825's rank_restriction+4, realised here as the fixed
-    solve rank since the fused path has no in-sweep adaptivity)."""
+    solve rank since the fused path has no in-sweep adaptivity).
+
+    ``refine_target`` (absolute residual) enables residual-equation
+    refinement after acceptance: solve ``A e = b - A x`` with the same
+    fixed-rank machinery and add ``e`` back.  The unknown of the residual
+    equation is small, so each round multiplies the absolute residual by
+    ~termination_tol — this is how eta-level accepted directions become
+    clean enough that the PSD-rounding compensation shifts (whose slack
+    injection is amplified by tr(X) ~ 2^d) stay below the IPM's absolute
+    gap tolerance.  No reference counterpart: the reference's restarts
+    re-solve the original system (src/tt_als.py:744-825); its ragged
+    sweeps reach machine-precision residuals instead, which a fixed-rank
+    (or f32/MXU) solve cannot."""
     d = len(next(iter(block_b.values())))
     bs = _nrows(ineq)
 
@@ -1241,15 +1254,47 @@ def tt_restarted_block_amen_fused(
     def accepted(rn):
         return rn < termination_tol * rhs_norm0 or rn < 0.1 * rhs_norm0
 
+    def refined(x_cores, res):
+        """Residual-equation refinement rounds on an accepted solution."""
+        if refine_target is None:
+            return x_cores, res
+        from ttipm_tpu.solvers.blocks import tt_block_train_add
+
+        rn = _fused_residual_norm(A, b, x_cores, ineq)
+        prod_tol = max(0.01 * refine_target, float(config.clamp_eps(eps)))
+        for _ in range(2):
+            if not np.isfinite(rn) or rn <= refine_target:
+                break
+            r_blk = block_b - block_A.block_product(x_cores, prod_tol)
+            try:
+                e_cores, _ = tt_block_amen_fused(
+                    block_A, r_blk, termination_tol, R, ineq, eps=eps,
+                    nswp=inner_m, kick_rank=2, verbose=False,
+                    prepped=(A, _prep_rhs(r_blk, d, ineq)),
+                )
+                x_new = tt_block_train_add(x_cores, e_cores, bs, eps)
+            except Exception:
+                break
+            rn_new = _fused_residual_norm(A, b, x_new, ineq)
+            # keep only clear improvements (an f32 solve saturates at its
+            # dtype floor; a failed residual solve must not regress x)
+            if not np.isfinite(rn_new) or rn_new >= 0.5 * rn:
+                break
+            if verbose:
+                print(f"\t[fused refine] res {rn:.3e} -> {rn_new:.3e}",
+                      flush=True)
+            x_cores, rn = x_new, rn_new
+        return x_cores, min(res, rn / max(rhs_norm0, 1e-300))
+
     x_cores, res = tt_block_amen_fused(
         block_A, block_b, termination_tol, R, ineq, eps=eps, nswp=inner_m,
         x0=x0, kick_rank=2, verbose=verbose, prepped=(A, b),
     )
     if res < termination_tol:
-        return x_cores, res
+        return refined(x_cores, res)
     rn = _fused_residual_norm(A, b, x_cores, ineq)
     if accepted(rn):
-        return x_cores, res
+        return refined(x_cores, res)
 
     for _ in range(1, num_restarts):
         # Geometric growth: the reference escalates rank_restriction by +4
@@ -1271,7 +1316,7 @@ def tt_restarted_block_amen_fused(
         )
         rn = _fused_residual_norm(A, b, x_cores, ineq)
         if accepted(rn):
-            return x_cores, res
+            return refined(x_cores, res)
 
     raise AmenRestartsExhausted(
         f"restart budget exhausted, relative error {rn / rhs_norm0:.3e}; "
