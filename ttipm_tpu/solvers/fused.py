@@ -1086,6 +1086,13 @@ def tt_block_amen_fused(
     d = len(next(iter(block_b.values())))
     rng = np.random.RandomState(seed) if seed is not None else np.random
 
+    # LLVM-ORC pins ~9 mmaps per compiled program forever; the fused
+    # shapes are bucketed but the restart ladder and the residual-
+    # refinement rhs ranks still mint fresh signatures, and a long solve
+    # can cross vm.max_map_count *between* the IPM-loop guard checks
+    # (observed: refinement run died with LLVM mmap ENOMEM mid-solve).
+    config.maybe_relieve_map_pressure()
+
     if prepped is not None:
         A, b = prepped
     else:
