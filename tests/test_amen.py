@@ -105,6 +105,34 @@ def test_restarted_amen():
     np.testing.assert_allclose(xd, xt, atol=1e-5)
 
 
+def test_restarted_amen_refinement():
+    """refine_target on the ragged restart loop: a loosely-terminated
+    solve must be driven to a substantially smaller true residual by the
+    residual-equation rounds (solvers/amen.py::refined)."""
+    dim = 3
+    A = spd_operator_tt(dim, 2)
+    x_true = tt_random_gaussian([2] * (dim - 1), (2,))
+    b = tt_mat_vec_exact(A, x_true)
+    block_A = TTBlockMatrix()
+    block_A[0, 0] = A
+    block_b = TTBlockVector()
+    block_b[0] = b
+
+    def true_res(x_sol):
+        return (block_b - block_A.block_product(x_sol, 1e-12)).norm
+
+    x_loose, _ = tt_restarted_block_amen(
+        block_A, block_b, rank_restriction=10, op_tol=1e-8,
+        termination_tol=1e-2, inner_m=4,
+    )
+    x_ref, _ = tt_restarted_block_amen(
+        block_A, block_b, rank_restriction=10, op_tol=1e-8,
+        termination_tol=1e-2, inner_m=4,
+        refine_target=1e-10 * block_b.norm,
+    )
+    assert true_res(x_ref) < max(0.05 * true_res(x_loose), 1e-10)
+
+
 def test_block_product_matches_dense():
     dim = 3
     A = spd_operator_tt(dim, 2)
