@@ -3,7 +3,10 @@ ONE JSON line per solve plus a final grid-summary line
 {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol follows BASELINE.md: wall clock of ``tt_ipm`` per seed on the
-configs/ grid; convergence requires complementary slackness < abs_tol.
+configs/ grid; convergence requires complementary slackness < abs_tol;
+per-dim solver hyperparameters (max_iter etc.) come from the same
+configs/maxcut_<dim>.yaml the reference runs
+(/root/reference/src/utils.py:300-321).
 
 ``vs_baseline`` is MEASURED: scripts/ref_baseline.py builds the actual
 reference implementation (its generated Cython .cpp compiled with g++, a
@@ -12,12 +15,20 @@ reference mean runtimes are stored in BASELINE_MEASURED.json (committed)
 and results/ref_baseline/*.json (fresh runs).  vs_baseline = reference
 mean seconds / our seconds (>1 means we are faster).
 
-Platform selection: BENCH_PLATFORM env overrides; otherwise the TPU
-("axon") is used via the offload-f32 profile when reachable, falling
-back to cpu.
+Fail-safety (round-4): the grid runs under a wall-clock budget
+(BENCH_BUDGET_S, default 1500 s).  Before each solve the projected cost
+(from the measured reference mean and the worst observed our/ref ratio so
+far) is checked against the remaining budget and the dim is skipped
+rather than blowing the driver timeout; each per-solve JSON line is
+emitted as it completes, and the final summary line is ALWAYS emitted
+(try/finally), covering whatever part of the grid finished.
+
+Platform selection: CPU grid by default (the honest, completable
+capture).  BENCH_PLATFORM=offload-f32 opts into the on-chip grid; the
+budget guard applies there too.
 
 Env knobs: BENCH_GRID ("dim:seeds,..."), BENCH_PLATFORM
-(cpu | offload | offload-f32).
+(cpu | offload | offload-f32), BENCH_BUDGET_S.
 """
 
 from __future__ import annotations
@@ -47,18 +58,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_GRID = "3:2,5:2,6:1,8:1"  # dim:seeds pairs
 
 
-def _config_seeds(dim: int):
-    """Seeds from configs/maxcut_<dim>.yaml (commented seeds included in
-    the reference grid protocol are ignored) — keeps our runs seed-
-    comparable with the measured reference baselines."""
+def _load_config(dim: int):
+    """configs/maxcut_<dim>.yaml — seeds and solver hyperparameters, so our
+    runs stay seed- and budget-comparable with the measured reference."""
     import yaml
 
     path = os.path.join(REPO, "configs", f"maxcut_{dim}.yaml")
     try:
         with open(path) as fh:
-            return list(yaml.safe_load(fh)["seeds"])
+            return yaml.safe_load(fh)
     except Exception:
-        return [319, 9313, 332, 261, 266]
+        return {"seeds": [319, 9313, 332, 261, 266]}
 
 
 def _ref_baseline_mean(dim: int):
@@ -80,18 +90,7 @@ def _ref_baseline_mean(dim: int):
         return None
 
 
-def _tpu_reachable() -> bool:
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return True
-    try:
-        import jax
-
-        return any(d.platform == "tpu" for d in jax.devices("axon"))
-    except Exception:
-        return False
-
-
-def _solve_once(dim: int, seed: int):
+def _solve_once(dim: int, seed: int, cfg: dict):
     from ttipm_tpu.models.maxcut import create_problem
     from ttipm_tpu.ipm import tt_ipm
     from ttipm_tpu.ops.tt import tt_inner_prod, tt_reshape
@@ -102,9 +101,16 @@ def _solve_once(dim: int, seed: int):
     t0 = time.time()
     X, Y, T, Z, info = tt_ipm(
         lag_maps, obj_tt, L_tt, bias_tt,
-        max_iter=22, gap_tol=3e-4, op_tol=1e-4, abs_tol=1e-3,
-        warm_up=3, aho_direction=False, mals_restarts=2, max_refinement=5,
-        lambdaStar=1.0, verbose=False,
+        max_iter=int(cfg.get("max_iter", 22)),
+        gap_tol=float(cfg.get("gap_tol", 3e-4)),
+        op_tol=float(cfg.get("op_tol", 1e-4)),
+        abs_tol=float(cfg.get("abs_tol", 1e-3)),
+        warm_up=int(cfg.get("warm_up", 3)),
+        aho_direction=False,
+        mals_restarts=int(cfg.get("mals_restarts", 2)),
+        max_refinement=int(cfg.get("max_refinement", 5)),
+        lambdaStar=float(cfg.get("lambdaStar", 1.0)),
+        verbose=False,
     )
     elapsed = time.time() - t0
     slack = abs(float(tt_inner_prod(X, Z)))
@@ -112,13 +118,12 @@ def _solve_once(dim: int, seed: int):
 
 
 def main() -> int:
-    platform = os.environ.get("BENCH_PLATFORM", "")
-    if not platform:
-        platform = "offload-f32" if _tpu_reachable() else "cpu"
+    platform = os.environ.get("BENCH_PLATFORM", "") or "cpu"
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     # On-chip default grid: the dims whose programs scripts/tpu_bench.py
     # pre-compiled into the persistent cache (a cold remote compile costs
     # ~2 min/program over the flaky tunnel and would dominate the bench).
-    default_grid = "3:1,4:1,5:1" if platform == "offload-f32" else DEFAULT_GRID
+    default_grid = "3:1,4:1" if platform == "offload-f32" else DEFAULT_GRID
     grid_spec = os.environ.get("BENCH_GRID", default_grid)
     if platform == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
@@ -151,67 +156,98 @@ def main() -> int:
         ttipm_config.set_dtype(jnp.float32)
         ttipm_config.set_eigen_dtype("native")
 
+    t_start = time.time()
     all_ok = True
     times = []
     ratios = []
-    for part in grid_spec.split(","):
-        dim_s, _, nseeds_s = part.partition(":")
-        dim = int(dim_s)
-        nseeds = int(nseeds_s or "1")
-        dim_times = []
-        ref_mean = _ref_baseline_mean(dim)
-        for seed in _config_seeds(dim)[:nseeds]:
-            elapsed, slack, iters = _solve_once(dim, seed)
-            converged = slack < 1e-3
-            all_ok = all_ok and converged
-            dim_times.append(elapsed)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"maxcut_d{dim}_seed{seed}_solve_seconds",
-                        "value": round(elapsed, 3),
-                        "unit": "s",
-                        "slackness": float(f"{slack:.3e}"),
-                        "iters": iters,
-                        "converged": converged,
-                        "platform": platform,
-                        "vs_baseline": (
-                            round(ref_mean / elapsed, 3) if ref_mean else None
-                        ),
-                    }
-                ),
-                flush=True,
-            )
-        mean_t = float(np.mean(dim_times))
-        times.append({"dim": dim, "mean": mean_t,
-                      "std": float(np.std(dim_times)),
-                      "ref_mean": ref_mean})
-        if ref_mean:
-            ratios.append(ref_mean / mean_t)
-
-    geomean = float(np.exp(np.mean([np.log(t["mean"]) for t in times])))
-    vs_baseline = (
-        round(float(np.exp(np.mean(np.log(ratios)))), 3) if ratios else None
-    )
-    # the driver parses the LAST stdout line
-    print(
-        json.dumps(
-            {
-                "metric": "maxcut_grid_geomean_seconds",
-                "value": round(geomean, 3),
-                "unit": "s",
-                "grid": times,
-                "platform": platform,
-                "converged_all": all_ok,
-                # geomean of measured (reference seconds / our seconds);
-                # >1 means faster than the measured Cython reference on
-                # this host (see scripts/ref_baseline.py)
-                "vs_baseline": vs_baseline,
-            }
-        ),
-        flush=True,
-    )
-    return 0 if all_ok else 1
+    skipped = []
+    worst_slowdown = 1.0  # worst observed (our seconds / ref seconds)
+    try:
+        for part in grid_spec.split(","):
+            dim_s, _, nseeds_s = part.partition(":")
+            dim = int(dim_s)
+            nseeds = int(nseeds_s or "1")
+            cfg = _load_config(dim)
+            dim_times = []
+            ref_mean = _ref_baseline_mean(dim)
+            for seed in list(cfg.get("seeds", []))[:nseeds]:
+                remaining = budget_s - (time.time() - t_start)
+                projected = (ref_mean or 30.0) * worst_slowdown * 1.5
+                if projected > remaining:
+                    skipped.append({"dim": dim, "seed": seed,
+                                    "projected_s": round(projected, 1),
+                                    "remaining_s": round(remaining, 1)})
+                    print(json.dumps({
+                        "metric": f"maxcut_d{dim}_seed{seed}_skipped",
+                        "value": None, "unit": "s",
+                        "reason": "budget",
+                        "projected_s": round(projected, 1),
+                        "remaining_s": round(remaining, 1),
+                    }), flush=True)
+                    continue
+                elapsed, slack, iters = _solve_once(dim, seed, cfg)
+                converged = slack < float(cfg.get("abs_tol", 1e-3))
+                all_ok = all_ok and converged
+                dim_times.append(elapsed)
+                if ref_mean:
+                    worst_slowdown = max(worst_slowdown, elapsed / ref_mean)
+                print(
+                    json.dumps(
+                        {
+                            "metric":
+                                f"maxcut_d{dim}_seed{seed}_solve_seconds",
+                            "value": round(elapsed, 3),
+                            "unit": "s",
+                            "slackness": float(f"{slack:.3e}"),
+                            "iters": iters,
+                            "converged": converged,
+                            "platform": platform,
+                            "vs_baseline": (
+                                round(ref_mean / elapsed, 3)
+                                if ref_mean else None
+                            ),
+                        }
+                    ),
+                    flush=True,
+                )
+            if dim_times:
+                mean_t = float(np.mean(dim_times))
+                times.append({"dim": dim, "mean": mean_t,
+                              "std": float(np.std(dim_times)),
+                              "ref_mean": ref_mean})
+                if ref_mean:
+                    ratios.append(ref_mean / mean_t)
+    finally:
+        if times:
+            geomean = float(
+                np.exp(np.mean([np.log(t["mean"]) for t in times])))
+        else:
+            geomean = float("nan")
+        vs_baseline = (
+            round(float(np.exp(np.mean(np.log(ratios)))), 3)
+            if ratios else None
+        )
+        # the driver parses the LAST stdout line
+        print(
+            json.dumps(
+                {
+                    "metric": "maxcut_grid_geomean_seconds",
+                    "value": (round(geomean, 3)
+                              if np.isfinite(geomean) else None),
+                    "unit": "s",
+                    "grid": times,
+                    "skipped": skipped,
+                    "platform": platform,
+                    "converged_all": all_ok and bool(times),
+                    # geomean of measured (reference seconds / our
+                    # seconds); >1 means faster than the measured Cython
+                    # reference on this host (scripts/ref_baseline.py)
+                    "vs_baseline": vs_baseline,
+                }
+            ),
+            flush=True,
+        )
+    return 0 if (all_ok and times) else 1
 
 
 if __name__ == "__main__":

@@ -56,8 +56,10 @@ def main() -> None:
                 converged_all=bool((slack < 1e-3).all()),
             )
         # don't let a timeout/failure record clobber a prior full result
+        # (match the population check above: empty-but-not-None results —
+        # {} or [] — are failures too)
         prior_entry = out.get(problem, {}).get(dim)
-        if res is None and prior_entry and "mean_s" in prior_entry:
+        if not res and prior_entry and "mean_s" in prior_entry:
             continue
         out.setdefault(problem, {})[dim] = entry
     payload = {"host": host, **out}

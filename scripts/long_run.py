@@ -30,6 +30,16 @@ sys.path.insert(0, REPO)
 import numpy as np
 import yaml
 
+# The session env may pin JAX_PLATFORMS=axon (the TPU tunnel); a multi-hour
+# checkpointed run must not silently route eager TT algebra over the
+# tunnel.  A sitecustomize hook may have imported jax already, so set the
+# config post-import rather than relying on the env var.
+import jax
+
+jax.config.update(
+    "jax_platforms", os.environ.get("LONGRUN_PLATFORM", "cpu")
+)
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()

@@ -20,9 +20,16 @@ def test_checkpoint_roundtrip(tmp_path):
     assert state["iteration"] == 7
     assert state["scalars"]["mu"] == 0.5
     assert state["T"] is None
-    assert tt_l2_dist(state["X"], X) < 1e-12
-    assert tt_l2_dist(state["Y"], Y) < 1e-12
-    assert tt_l2_dist(state["Z"], Z) < 1e-12
+    # the npz round-trip is bitwise; assert per-core exact equality
+    # (tt_l2_dist's rank-additive inner-product expansion carries
+    # summation-order cancellation noise ~eps*||X||^2, so a tiny absolute
+    # threshold on it is the wrong oracle for "identical trains")
+    for a, b in zip(state["X"], X):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(state["Y"], Y):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(state["Z"], Z):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_checkpoint_overwrite_atomic(tmp_path):

@@ -51,6 +51,46 @@ def clamp_eps(eps: float) -> float:
     return max(float(eps), _EPS_FLOOR)
 
 
+# --- Host algebra ------------------------------------------------------------
+#
+# The TT *glue* — roundings, adds, inner products, small exact products —
+# operates on ragged, seed-dependent rank shapes.  Running it through
+# eager-jitted XLA mints one compiled program per shape signature: a
+# profiled maxcut d6 solve compiled 851 fresh programs and spent 91% of
+# its 420 s wall clock in XLA compile/trace/lower, not arithmetic
+# (results/profile_d6.txt, round 4).  These panels are microscopic
+# (typically <= 64x64); numpy's LAPACK executes them in microseconds with
+# zero compilation.  Host-algebra mode therefore routes the ragged glue
+# through numpy while the bucketed, bounded-signature device programs
+# (fused sweeps, whole-eigen, LOBPCG) stay jitted — which is also the
+# right TPU architecture: host orchestration math on host, MXU-shaped
+# programs on device.  Disabled automatically inside jit traces.
+
+_HOST_ALGEBRA = True
+
+
+def set_host_algebra(on: bool) -> None:
+    global _HOST_ALGEBRA
+    _HOST_ALGEBRA = bool(on)
+
+
+def host_algebra() -> bool:
+    return _HOST_ALGEBRA
+
+
+def on_host(*arrays) -> bool:
+    """True when host-algebra mode is on and no argument is a tracer
+    (inside jit the jnp path must be used)."""
+    if not _HOST_ALGEBRA:
+        return False
+    import jax.core as _core
+
+    for a in arrays:
+        if isinstance(a, _core.Tracer):
+            return False
+    return True
+
+
 # --- Numerical tripwire -----------------------------------------------------
 #
 # The reference promotes numpy warnings to errors at import

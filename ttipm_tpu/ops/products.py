@@ -26,6 +26,7 @@ from ttipm_tpu.ops.jacobi import safe_svd
 
 from ttipm_tpu import config
 from ttipm_tpu.ops.rounding import (
+    _svd_econ,
     add_kick_rank,
     pad_bond_factors,
     prune_singular_vals,
@@ -52,9 +53,25 @@ __all__ = [
 # Exact rank-product contractions (one einsum per core)
 # ---------------------------------------------------------------------------
 
-@jax.jit
 def tt_mat_vec_exact(matrix_tt: TT, vec_tt: TT) -> TT:
     """Exact TT matrix @ TT vector; bond ranks multiply."""
+    if config.on_host(*matrix_tt, *vec_tt):
+        out: TT = []
+        for a, x in zip(matrix_tt, vec_tt):
+            a, x = np.asarray(a), np.asarray(x)
+            c = np.einsum("rmnR,anB->ramRB", a, x)
+            out.append(
+                c.reshape(
+                    a.shape[0] * x.shape[0], a.shape[1],
+                    a.shape[-1] * x.shape[-1],
+                )
+            )
+        return out
+    return _tt_mat_vec_exact_jit(matrix_tt, vec_tt)
+
+
+@jax.jit
+def _tt_mat_vec_exact_jit(matrix_tt: TT, vec_tt: TT) -> TT:
     out: TT = []
     for a, x in zip(matrix_tt, vec_tt):
         c = jnp.einsum("rmnR,anB->ramRB", a, x)
@@ -64,9 +81,25 @@ def tt_mat_vec_exact(matrix_tt: TT, vec_tt: TT) -> TT:
     return out
 
 
-@jax.jit
 def tt_mat_mat_exact(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
     """Exact TT matrix @ TT matrix; bond ranks multiply."""
+    if config.on_host(*matrix_tt_1, *matrix_tt_2):
+        out: TT = []
+        for a, b in zip(matrix_tt_1, matrix_tt_2):
+            a, b = np.asarray(a), np.asarray(b)
+            c = np.einsum("rmkR,aknB->ramnRB", a, b)
+            out.append(
+                c.reshape(
+                    a.shape[0] * b.shape[0], a.shape[1], b.shape[2],
+                    a.shape[-1] * b.shape[-1],
+                )
+            )
+        return out
+    return _tt_mat_mat_exact_jit(matrix_tt_1, matrix_tt_2)
+
+
+@jax.jit
+def _tt_mat_mat_exact_jit(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
     out: TT = []
     for a, b in zip(matrix_tt_1, matrix_tt_2):
         c = jnp.einsum("rmkR,aknB->ramnRB", a, b)
@@ -79,9 +112,34 @@ def tt_mat_mat_exact(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
     return out
 
 
-@jax.jit
 def tt_hadamard_exact(train_tt_1: TT, train_tt_2: TT) -> TT:
     """Exact entrywise (Hadamard) product; bond ranks multiply."""
+    if config.on_host(*train_tt_1, *train_tt_2):
+        out: TT = []
+        for a, b in zip(train_tt_1, train_tt_2):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.ndim == 4:
+                c = np.einsum("rmnR,amnB->ramnRB", a, b)
+                out.append(
+                    c.reshape(
+                        a.shape[0] * b.shape[0], a.shape[1], a.shape[2],
+                        a.shape[-1] * b.shape[-1],
+                    )
+                )
+            else:
+                c = np.einsum("rnR,anB->ranRB", a, b)
+                out.append(
+                    c.reshape(
+                        a.shape[0] * b.shape[0], a.shape[1],
+                        a.shape[-1] * b.shape[-1],
+                    )
+                )
+        return out
+    return _tt_hadamard_exact_jit(train_tt_1, train_tt_2)
+
+
+@jax.jit
+def _tt_hadamard_exact_jit(train_tt_1: TT, train_tt_2: TT) -> TT:
     out: TT = []
     for a, b in zip(train_tt_1, train_tt_2):
         if a.ndim == 4:
@@ -147,9 +205,13 @@ def _als_product_sweeps(
     ``nrmsc`` follows src/tt_als.py:1553-1566.
     """
     d = len(x_cores)
+    host = config.on_host(*x_cores)
+    xp = np if host else jnp
+    if host:
+        x_cores = [np.asarray(c) for c in x_cores]
     rx = np.array([1] + tt_ranks(x_cores) + [1])
-    phi = [jnp.ones((1, 1, 1), dtype=config.dtype())] + [None] * (d - 1) + [
-        jnp.ones((1, 1, 1), dtype=config.dtype())
+    phi = [xp.ones((1, 1, 1), dtype=config.dtype())] + [None] * (d - 1) + [
+        xp.ones((1, 1, 1), dtype=config.dtype())
     ]
     norm_phi = np.ones(d - 1)
     normx = np.ones(d - 1)
@@ -165,15 +227,15 @@ def _als_product_sweeps(
                 prev = x_cores[k]
                 sol = contraction_solution(phi[k], k, phi[k + 1]) * nrmsc
                 res = float(
-                    jnp.linalg.norm(sol - prev)
-                    / jnp.maximum(jnp.linalg.norm(sol), 1e-8)
+                    xp.linalg.norm(sol - prev)
+                    / max(float(xp.linalg.norm(sol)), 1e-8)
                 )
                 max_res = max(max_res, res)
                 mat = sol.reshape(rx[k], -1).T
             else:
                 mat = x_cores[k].reshape(rx[k], -1).T
             if k > 0:
-                u, s, v_t = safe_svd(mat, full_matrices=False)
+                u, s, v_t = _svd_econ(mat)
                 v = s[:, None] * v_t
                 r = prune_singular_vals(np.asarray(s), tol_bond)
                 if not last:
@@ -183,13 +245,13 @@ def _als_product_sweeps(
                 u, v, r = pad_bond_factors(u, v, r)
                 nrmsc *= normx[k - 1] / norm_phi[k - 1]
                 x_cores[k] = u.T.reshape(r, *phys_shape(k), rx[k + 1])
-                x_cores[k - 1] = jnp.tensordot(x_cores[k - 1], v.T, axes=([-1], [0]))
-                norm_now = float(jnp.linalg.norm(x_cores[k - 1]))
+                x_cores[k - 1] = xp.tensordot(x_cores[k - 1], v.T, axes=([-1], [0]))
+                norm_now = float(xp.linalg.norm(x_cores[k - 1]))
                 normx[k - 1] *= norm_now
                 x_cores[k - 1] = x_cores[k - 1] / norm_now
                 rx[k] = r
                 phi[k] = contraction_fwd(phi[k + 1], k, x_cores[k], True)
-                nrm = float(jnp.linalg.norm(phi[k])) or 1.0
+                nrm = float(xp.linalg.norm(phi[k])) or 1.0
                 phi[k] = phi[k] / nrm
                 norm_phi[k - 1] = nrm
                 nrmsc *= norm_phi[k - 1] / normx[k - 1]
@@ -205,13 +267,13 @@ def _als_product_sweeps(
             prev = x_cores[k]
             sol = contraction_solution(phi[k], k, phi[k + 1]) * nrmsc
             res = float(
-                jnp.linalg.norm(sol - prev) / jnp.maximum(jnp.linalg.norm(sol), 1e-8)
+                xp.linalg.norm(sol - prev) / max(float(xp.linalg.norm(sol)), 1e-8)
             )
             max_res = max(max_res, res)
             mat = sol.reshape(-1, rx[k + 1])
             if k < d - 1:
                 nrmsc *= normx[k] / norm_phi[k]
-                u, s, v_t = safe_svd(mat, full_matrices=False)
+                u, s, v_t = _svd_econ(mat)
                 v = s[:, None] * v_t
                 r = prune_singular_vals(np.asarray(s), tol_bond)
                 if not last:
@@ -220,13 +282,13 @@ def _als_product_sweeps(
                     u, v = u[:, :r], v[:r, :]
                 u, v, r = pad_bond_factors(u, v, r)
                 x_cores[k] = u.reshape(rx[k], *phys_shape(k), r)
-                x_cores[k + 1] = jnp.tensordot(v, x_cores[k + 1], axes=([1], [0]))
-                norm_now = float(jnp.linalg.norm(x_cores[k + 1]))
+                x_cores[k + 1] = xp.tensordot(v, x_cores[k + 1], axes=([1], [0]))
+                norm_now = float(xp.linalg.norm(x_cores[k + 1]))
                 normx[k] *= norm_now
                 x_cores[k + 1] = x_cores[k + 1] / norm_now
                 rx[k + 1] = r
                 phi[k + 1] = contraction_fwd(phi[k], k, x_cores[k], False)
-                nrm = float(jnp.linalg.norm(phi[k + 1])) or 1.0
+                nrm = float(xp.linalg.norm(phi[k + 1])) or 1.0
                 phi[k + 1] = phi[k + 1] / nrm
                 norm_phi[k] = nrm
                 nrmsc *= norm_phi[k] / normx[k]
@@ -262,16 +324,23 @@ def tt_approx_mat_mat_mul(
             (symmetric_powers_of_two(len(A) - 1) - max_ranks) / (nswp / 2), 2
         ).astype(int)
 
+    if config.on_host(*A, *D):
+        A = [np.asarray(c) for c in A]
+        D = [np.asarray(c) for c in D]
+        es = np.einsum
+    else:
+        es = jnp.einsum
+
     def phys_shape(k):
         return (A[k].shape[1], D[k].shape[2])
 
     def solution(phi_l, k, phi_r):
-        return jnp.einsum("rab,amkA,bknB,RAB->rmnR", phi_l, A[k], D[k], phi_r)
+        return es("rab,amkA,bknB,RAB->rmnR", phi_l, A[k], D[k], phi_r)
 
     def fwd(phi, k, core, reverse):
         if reverse:
-            return jnp.einsum("RAB,amkA,bknB,rmnR->rab", phi, A[k], D[k], core)
-        return jnp.einsum("rab,amkA,bknB,rmnR->RAB", phi, A[k], D[k], core)
+            return es("RAB,amkA,bknB,rmnR->rab", phi, A[k], D[k], core)
+        return es("rab,amkA,bknB,rmnR->RAB", phi, A[k], D[k], core)
 
     return _als_product_sweeps(fwd, solution, x_cores, phys_shape, kick_rank, nswp, tol)
 
@@ -296,16 +365,23 @@ def tt_approx_mat_vec_mul(
             (symmetric_powers_of_two(len(A) - 1) - max_ranks) / (nswp / 2), 2
         ).astype(int)
 
+    if config.on_host(*A, *d_vec):
+        A = [np.asarray(c) for c in A]
+        d_vec = [np.asarray(c) for c in d_vec]
+        es = np.einsum
+    else:
+        es = jnp.einsum
+
     def phys_shape(k):
         return (A[k].shape[1],)
 
     def solution(phi_l, k, phi_r):
-        return jnp.einsum("rab,amkA,bkB,RAB->rmR", phi_l, A[k], d_vec[k], phi_r)
+        return es("rab,amkA,bkB,RAB->rmR", phi_l, A[k], d_vec[k], phi_r)
 
     def fwd(phi, k, core, reverse):
         if reverse:
-            return jnp.einsum("RAB,amkA,bkB,rmR->rab", phi, A[k], d_vec[k], core)
-        return jnp.einsum("rab,amkA,bkB,rmR->RAB", phi, A[k], d_vec[k], core)
+            return es("RAB,amkA,bkB,rmR->rab", phi, A[k], d_vec[k], core)
+        return es("rab,amkA,bkB,rmR->RAB", phi, A[k], d_vec[k], core)
 
     return _als_product_sweeps(fwd, solution, x_cores, phys_shape, kick_rank, nswp, tol)
 

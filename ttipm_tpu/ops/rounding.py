@@ -68,8 +68,21 @@ def prune_singular_vals(s: np.ndarray, eps: float) -> int:
 
 
 def _orthonormal_complement(q_mat: jax.Array, k: int) -> jax.Array:
-    """k extra orthonormal columns orthogonal to the columns of q_mat."""
-    g = jnp.asarray(np.random.randn(q_mat.shape[0], k), dtype=q_mat.dtype)
+    """k extra orthonormal columns orthogonal to the columns of q_mat.
+
+    The Gaussian draw uses a fixed-seed Generator (fresh per call) so that
+    bucket-padding directions — and therefore whole solves — are
+    bit-reproducible run-to-run, matching the fixed PRNGKey used by the
+    in-kernel padding variant below."""
+    rng = np.random.default_rng(0xB04D)
+    if config.on_host(q_mat):
+        qm = np.asarray(q_mat)
+        g = rng.standard_normal((qm.shape[0], k)).astype(qm.dtype)
+        g = g - qm @ (qm.T @ g)
+        q2, _ = np.linalg.qr(g, mode="reduced")
+        return q2
+    g = jnp.asarray(rng.standard_normal((q_mat.shape[0], k)),
+                    dtype=q_mat.dtype)
     g = g - q_mat @ (q_mat.T @ g)
     q2, _ = jnp.linalg.qr(g, mode="reduced")
     return q2
@@ -95,24 +108,43 @@ def pad_bond_factors(left: jax.Array, right: jax.Array, r: int, orth: str = "lef
     if rb <= r:
         return left, right, r
     k = rb - r
+    host = config.on_host(left, right)
+    xp = np if host else jnp
+    if host:
+        left, right = np.asarray(left), np.asarray(right)
     if orth == "left":
         lmat = left.reshape(-1, r)
-        lmat = jnp.concatenate([lmat, _orthonormal_complement(lmat, k)], axis=1)
+        lmat = xp.concatenate([lmat, _orthonormal_complement(lmat, k)], axis=1)
         left = lmat.reshape(*left.shape[:-1], rb)
-        right = jnp.pad(right, [(0, k)] + [(0, 0)] * (right.ndim - 1))
+        right = xp.pad(right, [(0, k)] + [(0, 0)] * (right.ndim - 1))
     else:
         rmat = right.reshape(r, -1)
         comp = _orthonormal_complement(rmat.T, k).T
-        right = jnp.concatenate([rmat, comp], axis=0).reshape(rb, *right.shape[1:])
-        left = jnp.pad(left, [(0, 0)] * (left.ndim - 1) + [(0, k)])
+        right = xp.concatenate([rmat, comp], axis=0).reshape(rb, *right.shape[1:])
+        left = xp.pad(left, [(0, 0)] * (left.ndim - 1) + [(0, k)])
     return left, right, rb
 
 
 def _qr_econ(mat: jax.Array):
+    if config.on_host(mat):
+        return np.linalg.qr(np.asarray(mat), mode="reduced")
     return jnp.linalg.qr(mat, mode="reduced")
 
 
+def _host_svd(mat: np.ndarray):
+    """LAPACK SVD on the host (gesdd, gesvd fallback — the reference pins
+    gesvd for robustness, cy_src/tt_ops_cy.pyx:205-211)."""
+    try:
+        return np.linalg.svd(mat, full_matrices=False)
+    except np.linalg.LinAlgError:
+        import scipy.linalg as sla
+
+        return sla.svd(mat, full_matrices=False, lapack_driver="gesvd")
+
+
 def _svd_econ(mat: jax.Array):
+    if config.on_host(mat):
+        return _host_svd(np.asarray(mat))
     return safe_svd(mat, full_matrices=False)
 
 
@@ -166,12 +198,31 @@ def _trunc_apply_kernel(u, s, v_t, next_core, next_rank, padded_rank):
     return u_k, folded
 
 
+def _host_rl_orthogonalise(train_tt: TT) -> TT:
+    """numpy twin of the RL sweep: the panels are microscopic and ragged,
+    so LAPACK-on-host beats minting one XLA program per bond signature
+    (config.py host-algebra rationale)."""
+    out = [np.asarray(c) for c in train_tt]
+    for i in range(len(out) - 1, 0, -1):
+        core, prev = out[i], out[i - 1]
+        r = core.shape[0]
+        q, rm = np.linalg.qr(core.reshape(r, -1).T, mode="reduced")
+        k = q.shape[1]
+        out[i] = np.ascontiguousarray(q.T).reshape((k,) + core.shape[1:])
+        out[i - 1] = (prev.reshape(-1, r) @ rm.T).reshape(
+            prev.shape[:-1] + (k,)
+        )
+    return out
+
+
 def tt_rl_orthogonalise(train_tt: TT) -> TT:
     """Right-to-left QR sweep: all cores except the first become
     right-orthogonal (cy_src/tt_ops_cy.pyx:132-159)."""
     dim = len(train_tt)
     if dim == 1:
         return list(train_tt)
+    if config.on_host(*train_tt):
+        return _host_rl_orthogonalise(train_tt)
     out = list(train_tt)
     for i in range(dim - 1, 0, -1):
         out[i], out[i - 1] = _rl_bond_kernel(out[i], out[i - 1])
@@ -196,6 +247,31 @@ def _truncation_sweep(
     dim = len(train_tt)
     out = list(train_tt)
     discarded = 0.0
+    if config.on_host(*out):
+        out = [np.asarray(c) for c in out]
+        for idx in range(dim - 1):
+            shape = out[idx].shape
+            u, s, v_t = _host_svd(out[idx].reshape(-1, shape[-1]))
+            next_rank = prune_singular_vals(s, eps)
+            if compensation is not None and next_rank < s.size:
+                tail = np.cumsum(np.abs(s[::-1]) ** 2)[::-1]
+                discarded += float(tail[next_rank])
+            padded = min(config.bucket_rank(next_rank), u.shape[0])
+            u_k = u[:, :next_rank]
+            folded = (s[:next_rank, None] * v_t[:next_rank, :]) @ out[
+                idx + 1
+            ].reshape(out[idx + 1].shape[0], -1)
+            if padded > next_rank:
+                k = padded - next_rank
+                u_k = np.concatenate(
+                    [u_k, _orthonormal_complement(u_k, k)], axis=1
+                )
+                folded = np.pad(folded, [(0, k), (0, 0)])
+            out[idx + 1] = folded.reshape(
+                (padded,) + out[idx + 1].shape[1:]
+            )
+            out[idx] = u_k.reshape(shape[:-1] + (padded,))
+        return out, discarded
     for idx in range(dim - 1):
         shape = out[idx].shape
         u, s, v_t = _bond_svd(out[idx])
@@ -253,7 +329,8 @@ def tt_psd_rank_reduce(train_tt: TT, eps: float = 1e-18,
     shift = factor ** len(out)
     if not (len(out) == 1 and factor == 0.0):
         n = out[0].shape[1]
-        eye_core = factor * jnp.eye(n, dtype=config.dtype()).reshape(
+        xp = np if config.on_host(*out) else jnp
+        eye_core = factor * xp.eye(n, dtype=config.dtype()).reshape(
             1, n, n, 1
         )
         out = tt_add(out, [eye_core] * len(out))
@@ -308,9 +385,10 @@ def add_kick_rank(u: jax.Array, v: jax.Array, r_add: int = 2, rng=None):
     rank-adaptive enrichment (cy_src/tt_ops_cy.pyx:559-578)."""
     rng = rng or np.random
     old_r = u.shape[1]
-    kick = jnp.asarray(rng.randn(u.shape[0], r_add), dtype=u.dtype)
-    q, r_mat = _qr_econ(jnp.concatenate((u, kick), axis=1))
-    v_new = r_mat[:, :old_r] @ v
+    xp = np if config.on_host(u, v) else jnp
+    kick = xp.asarray(rng.randn(u.shape[0], r_add), dtype=u.dtype)
+    q, r_mat = _qr_econ(xp.concatenate((xp.asarray(u), kick), axis=1))
+    v_new = r_mat[:, :old_r] @ xp.asarray(v)
     return q, v_new, int(q.shape[1])
 
 
@@ -322,12 +400,13 @@ def add_kick_rank_rev(u: jax.Array, v: jax.Array, r_add: int = 2, rng=None):
     """
     rng = rng or np.random
     old_r = v.shape[0]
-    kick = jnp.asarray(rng.randn(r_add, v.shape[-1]), dtype=v.dtype)
-    stacked = jnp.concatenate((v, kick), axis=0)
+    xp = np if config.on_host(u, v) else jnp
+    kick = xp.asarray(rng.randn(r_add, v.shape[-1]), dtype=v.dtype)
+    stacked = xp.concatenate((xp.asarray(v), kick), axis=0)
     # RQ via QR of the anti-transpose: A = R Q with R upper-triangular.
     a_rev = stacked[::-1, ::-1].T
     q_r, r_r = _qr_econ(a_rev)
     q_new = q_r.T[::-1, ::-1]
     r_new = r_r.T[::-1, ::-1]
-    u_new = u @ r_new[:old_r]
+    u_new = xp.asarray(u) @ r_new[:old_r]
     return u_new, q_new, int(q_new.shape[0])

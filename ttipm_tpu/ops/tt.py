@@ -117,6 +117,13 @@ def tt_one_matrix(dim: int, n: int = 2) -> TT:
 # reshape/concat/einsum/pad dispatches from exactly this glue.
 
 @jax.jit
+def _tt_transpose_jit(matrix_tt: TT, split: int) -> TT:
+    out = list(matrix_tt[:split])
+    for core in matrix_tt[split:]:
+        out.append(jnp.swapaxes(core, 1, 2))
+    return out
+
+
 def tt_transpose(matrix_tt: TT) -> TT:
     """Matrix transpose: swap the two physical axes of every matrix core.
 
@@ -125,10 +132,11 @@ def tt_transpose(matrix_tt: TT) -> TT:
     """
     ndims = [c.ndim for c in matrix_tt]
     split = int(np.argmax(ndims))
-    out = list(matrix_tt[:split])
-    for core in matrix_tt[split:]:
-        out.append(jnp.swapaxes(core, 1, 2))
-    return out
+    if config.on_host(*matrix_tt):
+        return list(matrix_tt[:split]) + [
+            np.swapaxes(np.asarray(c), 1, 2) for c in matrix_tt[split:]
+        ]
+    return _tt_transpose_jit(matrix_tt, split)
 
 
 def tt_ranks(train_tt: TT) -> List[int]:
@@ -150,12 +158,25 @@ def tt_scale(alpha, train_tt: TT) -> TT:
     core granularity: the program is keyed on core 0's shape alone, not the
     whole train signature.
     """
+    if config.on_host(train_tt[0], alpha):
+        first = np.asarray(train_tt[0])
+        return [first * np.asarray(alpha, dtype=first.dtype)] + list(
+            train_tt[1:]
+        )
     return [_scale_core(train_tt[0], alpha)] + list(train_tt[1:])
 
 
-@jax.jit
 def tt_swap_all(train_tt: TT) -> TT:
     """Reverse core order and flip every core's bond axes."""
+    if config.on_host(*train_tt):
+        return [
+            np.swapaxes(np.asarray(c), 0, -1) for c in reversed(train_tt)
+        ]
+    return _tt_swap_all_jit(train_tt)
+
+
+@jax.jit
+def _tt_swap_all_jit(train_tt: TT) -> TT:
     return [jnp.swapaxes(c, 0, -1) for c in reversed(train_tt)]
 
 
@@ -194,6 +215,31 @@ def _tt_add_impl(train_1_tt: TT, train_2_tt: TT) -> TT:
     return [first] + mids + [last]
 
 
+def _host_block_diag_core(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    r1, R1 = c1.shape[0], c1.shape[-1]
+    r2, R2 = c2.shape[0], c2.shape[-1]
+    out = np.zeros(
+        (r1 + r2,) + c1.shape[1:-1] + (R1 + R2,),
+        dtype=np.result_type(c1, c2),
+    )
+    out[:r1, ..., :R1] = c1
+    out[r1:, ..., R1:] = c2
+    return out
+
+
+def _host_add_impl(t1: TT, t2: TT) -> TT:
+    t1 = [np.asarray(c) for c in t1]
+    t2 = [np.asarray(c) for c in t2]
+    if len(t1) == 1:
+        return [t1[0] + t2[0]]
+    first = np.concatenate((t1[0], t2[0]), axis=-1)
+    last = np.concatenate((t1[-1], t2[-1]), axis=0)
+    mids = [
+        _host_block_diag_core(c1, c2) for c1, c2 in zip(t1[1:-1], t2[1:-1])
+    ]
+    return [first] + mids + [last]
+
+
 def tt_add(train_1_tt: TT, train_2_tt: TT) -> TT:
     """Rank-additive TT addition (cy_src/tt_ops_cy.pyx:244-258)."""
     if len(train_1_tt) != len(train_2_tt):
@@ -201,6 +247,8 @@ def tt_add(train_1_tt: TT, train_2_tt: TT) -> TT:
             f"tt_add: train lengths differ "
             f"({len(train_1_tt)} vs {len(train_2_tt)})"
         )
+    if config.on_host(*train_1_tt, *train_2_tt):
+        return _host_add_impl(train_1_tt, train_2_tt)
     return _tt_add_impl(train_1_tt, train_2_tt)
 
 
@@ -215,6 +263,8 @@ def tt_sub(train_1_tt: TT, train_2_tt: TT) -> TT:
             f"tt_sub: train lengths differ "
             f"({len(train_1_tt)} vs {len(train_2_tt)})"
         )
+    if config.on_host(*train_1_tt, *train_2_tt):
+        return _host_add_impl(train_1_tt, tt_scale(-1.0, train_2_tt))
     return _tt_sub_impl(train_1_tt, train_2_tt)
 
 
@@ -251,6 +301,15 @@ def tt_inner_prod(train_1_tt: TT, train_2_tt: TT) -> float:
     Parity: cy_src/tt_ops_cy.pyx:506-520.  Returns a host float (the IPM
     branches on these values).
     """
+    if config.on_host(*train_1_tt, *train_2_tt):
+        acc = np.ones((1, 1))
+        for c1, c2 in zip(train_1_tt, train_2_tt):
+            c1, c2 = np.asarray(c1), np.asarray(c2)
+            if c1.ndim == 4:
+                acc = np.einsum("ab,aijc,bijd->cd", acc, c1, c2)
+            else:
+                acc = np.einsum("ab,aic,bid->cd", acc, c1, c2)
+        return float(acc[0, 0])
     return float(_tt_inner_prod_impl(train_1_tt, train_2_tt))
 
 
@@ -284,6 +343,15 @@ def _tt_entrywise_sum_impl(train_tt: TT) -> jax.Array:
 
 def tt_entrywise_sum(train_tt: TT) -> float:
     """Sum of all tensor entries (src/tt_ops.py:342-352)."""
+    if config.on_host(*train_tt):
+        acc = np.ones((1,))
+        for c in train_tt:
+            c = np.asarray(c)
+            if c.ndim == 4:
+                acc = np.einsum("a,aijb->b", acc, c)
+            else:
+                acc = np.einsum("a,aib->b", acc, c)
+        return float(acc.sum())
     return float(_tt_entrywise_sum_impl(train_tt))
 
 
@@ -302,12 +370,32 @@ def tt_diag(vec_tt: TT, eps: float = 1e-18) -> TT:
     """Diag-embed a TT vector into a TT matrix (src/tt_ops.py:312-316)."""
     from ttipm_tpu.ops.rounding import tt_rank_reduce
 
+    if config.on_host(*vec_tt):
+        n = vec_tt[0].shape[1]
+        eye = np.eye(n, dtype=config.dtype())
+        cores = [
+            np.einsum("ij,rjR->rijR", eye, np.asarray(c)) for c in vec_tt
+        ]
+        return tt_rank_reduce(cores, eps)
     return tt_rank_reduce(_diag_embed_cores(vec_tt), eps)
 
 
-@jax.jit
 def tt_diagonal(matrix_tt: TT) -> TT:
     """Extract the diagonal as a TT vector (src/tt_ops.py:318-319)."""
+    if config.on_host(*matrix_tt):
+        return [
+            np.ascontiguousarray(
+                np.transpose(
+                    np.diagonal(np.asarray(c), axis1=1, axis2=2), (0, 2, 1)
+                )
+            )
+            for c in matrix_tt
+        ]
+    return _tt_diagonal_jit(matrix_tt)
+
+
+@jax.jit
+def _tt_diagonal_jit(matrix_tt: TT) -> TT:
     return [
         jnp.transpose(jnp.diagonal(c, axis1=1, axis2=2), (0, 2, 1))
         for c in matrix_tt
@@ -333,6 +421,17 @@ def tt_diag_op(matrix_tt: TT, eps: float = 1e-18) -> TT:
     """
     from ttipm_tpu.ops.rounding import tt_rank_reduce
 
+    if config.on_host(*matrix_tt):
+        mn = matrix_tt[0].shape[1] * matrix_tt[0].shape[2]
+        eye = np.eye(mn, dtype=config.dtype())
+        cores = [
+            np.einsum(
+                "ij,rjR->rijR", eye,
+                np.asarray(c).reshape(c.shape[0], mn, c.shape[-1]),
+            )
+            for c in matrix_tt
+        ]
+        return tt_rank_reduce(cores, eps)
     return tt_rank_reduce(_diag_op_cores(matrix_tt), eps)
 
 
@@ -355,7 +454,27 @@ def tt_reshape(train_tt: TT, shape: Sequence[int]) -> TT:
     physical volume exceeds a core's, adjacent cores are merged first
     (src/tt_ops.py:330-339).
     """
-    return _tt_reshape_impl(train_tt, tuple(int(s) for s in shape))
+    shape = tuple(int(s) for s in shape)
+    if config.on_host(*train_tt):
+        cores = train_tt
+        if int(np.prod(shape)) > int(np.prod(cores[0].shape[1:-1])):
+            if cores[0].ndim == 3:
+                cores = [
+                    np.einsum("kir,rsK->kisK", np.asarray(c1), np.asarray(c2))
+                    for c1, c2 in zip(cores[:-1:2], cores[1::2])
+                ]
+            else:
+                cores = [
+                    np.einsum(
+                        "kijr,rsdK->kisjdK", np.asarray(c1), np.asarray(c2)
+                    )
+                    for c1, c2 in zip(cores[:-1:2], cores[1::2])
+                ]
+        return [
+            np.asarray(c).reshape((c.shape[0],) + shape + (c.shape[-1],))
+            for c in cores
+        ]
+    return _tt_reshape_impl(train_tt, shape)
 
 
 def tt_merge_cores(train_tt: TT) -> TT:
@@ -424,17 +543,51 @@ def tt_kron(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
     return [_kron_cores(c1, c2) for c1, c2 in zip(matrix_tt_1, matrix_tt_2)]
 
 
-@jax.jit
+def _host_kron_cores(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    out = np.einsum("rmnR,lijL->rlminjRL", c1, c2)
+    return out.reshape(
+        c1.shape[0] * c2.shape[0],
+        c1.shape[1] * c2.shape[1],
+        c1.shape[2] * c2.shape[2],
+        c1.shape[-1] * c2.shape[-1],
+    )
+
+
 def tt_IkronM(matrix_tt: TT) -> TT:
     """Lift ``M -> I (x) M`` per core: (r,2,2,R) -> (r,4,4,R)
     (src/tt_ops.py:360-363)."""
+    if config.on_host(*matrix_tt):
+        eye = np.eye(2, dtype=config.dtype()).reshape(1, 2, 2, 1)
+        return [
+            _host_kron_cores(eye, np.asarray(c)).reshape(
+                c.shape[0], 4, 4, c.shape[-1]
+            )
+            for c in matrix_tt
+        ]
+    return _tt_IkronM_jit(matrix_tt)
+
+
+@jax.jit
+def _tt_IkronM_jit(matrix_tt: TT) -> TT:
     eye = jnp.eye(2, dtype=config.dtype()).reshape(1, 2, 2, 1)
     return [_kron_cores(eye, c).reshape(c.shape[0], 4, 4, c.shape[-1]) for c in matrix_tt]
 
 
-@jax.jit
 def tt_MkronI(matrix_tt: TT) -> TT:
     """Lift ``M -> M (x) I`` per core (src/tt_ops.py:365-368)."""
+    if config.on_host(*matrix_tt):
+        eye = np.eye(2, dtype=config.dtype()).reshape(1, 2, 2, 1)
+        return [
+            _host_kron_cores(np.asarray(c), eye).reshape(
+                c.shape[0], 4, 4, c.shape[-1]
+            )
+            for c in matrix_tt
+        ]
+    return _tt_MkronI_jit(matrix_tt)
+
+
+@jax.jit
+def _tt_MkronI_jit(matrix_tt: TT) -> TT:
     eye = jnp.eye(2, dtype=config.dtype()).reshape(1, 2, 2, 1)
     return [_kron_cores(c, eye).reshape(c.shape[0], 4, 4, c.shape[-1]) for c in matrix_tt]
 

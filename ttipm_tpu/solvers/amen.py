@@ -749,24 +749,27 @@ def tt_restarted_block_amen(
             x_cores[int(np.argmax([c.ndim for c in x_cores]))].shape[1]
         )
         prod_tol = max(0.01 * refine_target, float(_config.clamp_eps(eps)))
-        rn = (rhs - block_A.block_product(x_cores, prod_tol)).norm
+        # one tight-tolerance block product per round: the residual train
+        # r_blk doubles as both the refinement RHS and the norm source
+        r_blk = rhs - block_A.block_product(x_cores, prod_tol)
+        rn = r_blk.norm
         for _ in range(2):
             if not np.isfinite(rn) or rn <= refine_target:
                 break
-            r_blk = rhs - block_A.block_product(x_cores, prod_tol)
             try:
                 e_cores, _ = solve_als(r_blk, rank_restriction, None,
                                        inner_m, 2)
                 x_new = tt_block_train_add(x_cores, e_cores, num_blocks, eps)
             except Exception:
                 break
-            rn_new = (rhs - block_A.block_product(x_new, prod_tol)).norm
+            r_new = rhs - block_A.block_product(x_new, prod_tol)
+            rn_new = r_new.norm
             if not np.isfinite(rn_new) or rn_new >= 0.5 * rn:
                 break
             if verbose:
                 print(f"\t[amen refine] res {rn:.3e} -> {rn_new:.3e}",
                       flush=True)
-            x_cores, rn = x_new, rn_new
+            x_cores, rn, r_blk = x_new, rn_new, r_new
         return x_cores, min(res, rn / max(orig_rhs_norm, 1e-300))
 
     x_cores, res = solve_als(rhs, rank_restriction, x0, inner_m, 2)

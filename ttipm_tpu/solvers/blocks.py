@@ -27,7 +27,31 @@ from ttipm_tpu.ops.tt import TT, tt_add, tt_inner_prod, tt_scale, tt_sub, tt_tra
 
 __all__ = [
     "TTBlockVector", "TTBlockMatrix", "tt_get_block", "tt_block_train_add",
+    "cast_block_vector", "cast_block_matrix",
 ]
+
+
+def cast_block_vector(b: "TTBlockVector", dt) -> "TTBlockVector":
+    """Copy with every core cast to ``dt`` (mixed-precision residual
+    assembly: refinement residuals b - A x must be computed above the
+    working precision or they carry the very noise they try to remove)."""
+    out = TTBlockVector()
+    out._data = {
+        k: [jnp.asarray(c, dt) for c in v] for k, v in b._data.items()
+    }
+    return out
+
+
+def cast_block_matrix(A: "TTBlockMatrix", dt) -> "TTBlockMatrix":
+    """Copy with every stored block's cores cast to ``dt`` (aliases and
+    transpose-shares preserved)."""
+    out = TTBlockMatrix()
+    out._data = {
+        k: [jnp.asarray(c, dt) for c in v] for k, v in A._data.items()
+    }
+    out._aliases = dict(A._aliases)
+    out._transposes = dict(A._transposes)
+    return out
 
 
 def tt_get_block(i: int, block_train_tt: TT) -> TT:

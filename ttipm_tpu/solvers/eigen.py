@@ -494,11 +494,15 @@ def tt_max_generalised_eigen(
 
     step_size = 1.0
     local_res = np.inf * np.ones((2, max(d - 1, 1)))
+    # per-window pencil scale ||M p||, tracked NEXT TO each residual so the
+    # unconverged-solve penalty compares each window's residual against its
+    # OWN scale (a transiently large pencil norm in one window must not
+    # inflate the floor for residuals measured in smaller-norm windows)
+    local_scale = np.zeros((2, max(d - 1, 1)))
     max_rank = int(np.floor(2 ** (d / 2)))
     trunc_tol = tol / np.sqrt(d)
     prev_sweep_step = None
     prev_sweep_res = np.inf
-    max_scale = 0.0
 
     def finish_fwd():
         nonlocal step_size
@@ -562,7 +566,7 @@ def tt_max_generalised_eigen(
                     )
                 )
                 local_res[0, k - 1] = res
-                max_scale = max(max_scale, scl)
+                local_scale[0, k - 1] = scl
                 if step_size <= 0:
                     zero_step = True
                     break
@@ -594,7 +598,7 @@ def tt_max_generalised_eigen(
                 )
             )
             local_res[1, k] = res
-            max_scale = max(max_scale, scl)
+            local_scale[1, k] = scl
             if step_size <= 0:
                 zero_step = True
                 break
@@ -633,9 +637,17 @@ def tt_max_generalised_eigen(
     eps_dt = float(jnp.finfo(config.dtype()).eps)
     if A and hasattr(A[0], "dtype"):
         eps_dt = max(eps_dt, float(jnp.finfo(A[0].dtype).eps))
-    tol = max(tol, 30.0 * eps_dt, 4.0 * eps_dt * max_scale)
-    if max_res > tol and np.isfinite(max_res) and max_res > 0:
-        step_size *= tol / max_res
+    # Per-window floors: window k's achievable residual is set by ITS pencil
+    # scale (advisor round-3: a global max_scale let a transiently large
+    # window inflate the floor for residuals measured in smaller-norm
+    # windows, silently skipping the penalty — most likely under f32).
+    floors = np.maximum(max(tol, 30.0 * eps_dt), 4.0 * eps_dt * local_scale)
+    with np.errstate(invalid="ignore"):
+        ratios = local_res / floors
+    ratios = ratios[np.isfinite(ratios)]
+    worst = float(np.max(ratios)) if ratios.size else 0.0
+    if worst > 1.0 and np.isfinite(max_res) and max_res > 0:
+        step_size /= worst
     return step_size, x_cores
 
 

@@ -851,6 +851,16 @@ def _global_residual_sq(A, b, x_shared, x_block, ineq: bool, block_pos: int):
 
 
 def _fused_residual_norm(A, b, x_cores, ineq: bool) -> float:
+    if _use_host_engine() and not any(
+        isinstance(c, jax.core.Tracer) for c in x_cores
+    ):
+        from ttipm_tpu.solvers import fused_host
+
+        return fused_host.host_residual_norm(
+            {k: [np.asarray(c) for c in v] for k, v in A.items()},
+            [[np.asarray(c) for c in row] for row in b],
+            [np.asarray(c) for c in x_cores], ineq,
+        )
     block_pos = int(np.argmax([c.ndim for c in x_cores]))
     x_shared = [c for i, c in enumerate(x_cores) if i != block_pos]
     res_sq, _ = _global_residual_sq(
@@ -892,6 +902,21 @@ def _uniform_key_rank(cores: List[np.ndarray]) -> int:
     return _bucket4(max(c.shape[-1] for c in cores[:-1]))
 
 
+def _use_host_engine() -> bool:
+    """numpy sweep engine: on when nothing is offloaded to an accelerator
+    and host-algebra mode is active (config.py rationale — the jitted
+    engine's per-signature trace/lower/compile overhead dwarfs the actual
+    arithmetic of these microscopic panels on CPU)."""
+    return (config.offload_device() is None and config.host_algebra()
+            and not config.fused_whole_solve())
+
+
+def _finalize_cores(cores):
+    if _use_host_engine():
+        return [np.asarray(c, dtype=np.dtype(config.dtype())) for c in cores]
+    return [jnp.asarray(c, dtype=config.dtype()) for c in cores]
+
+
 def _prep_operator(block_A, d: int, ineq: bool) -> Dict[str, List[jax.Array]]:
     """Canonicalize + zero-pad the KKT block operator to one bucketed rank
     per key (interior bonds), so all interior cores share one shape."""
@@ -907,8 +932,7 @@ def _prep_operator(block_A, d: int, ineq: bool) -> Dict[str, List[jax.Array]]:
         else:
             ra = _uniform_key_rank(cores)
             ranks = [ra] * (d - 1)
-        out[sk] = [jnp.asarray(c, dtype=config.dtype())
-                   for c in _pad_train(cores, ranks)]
+        out[sk] = _finalize_cores(_pad_train(cores, ranks))
     return out
 
 
@@ -925,7 +949,7 @@ def _prep_rhs(block_b, d: int, ineq: bool) -> List[List[jax.Array]]:
             cores = _np_cores(row)
             rb = _uniform_key_rank(cores)
             cores = _pad_train(cores, [rb] * (d - 1))
-        rows.append([jnp.asarray(c, dtype=config.dtype()) for c in cores])
+        rows.append(_finalize_cores(cores))
     return rows
 
 
@@ -1001,7 +1025,7 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
         if finite:
             try:
                 cores = _np_svd_retract(np_cores, caps)
-                return [jnp.asarray(c, dtype=config.dtype()) for c in cores]
+                return _finalize_cores(cores)
             except np.linalg.LinAlgError:
                 pass  # pathological warm start -> fresh Gaussian below
     if direction > 0:
@@ -1016,7 +1040,7 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
         cores = [rng.randn(1, bs, 4, caps[0] if d > 1 else 1)] + tail
     nrm = np.sqrt(sum(float(np.sum(c**2)) for c in cores))
     cores = [c / max(nrm, TINY) ** (1.0 / d) for c in cores]
-    return [jnp.asarray(c, dtype=config.dtype()) for c in cores]
+    return _finalize_cores(cores)
 
 
 def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng) -> List[jax.Array]:
@@ -1028,13 +1052,14 @@ def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng) -> List[jax.Array]
             c = rng.randn(rl, bs, 4, rr) / (4 * bs * kick**2)
         else:
             c = rng.randn(rl, 4, rr) / (4 * kick**2)
-        cores.append(jnp.asarray(c, dtype=config.dtype()))
-    return cores
+        cores.append(c)
+    return _finalize_cores(cores)
 
 
 def _boundary_phis(A, b, ineq: bool):
-    ones3 = jnp.ones((1, 1, 1), dtype=config.dtype())
-    ones2 = jnp.ones((1, 1), dtype=config.dtype())
+    xp = np if _use_host_engine() else jnp
+    ones3 = xp.ones((1, 1, 1), dtype=config.dtype())
+    ones2 = xp.ones((1, 1), dtype=config.dtype())
     pA = {k: ones3 for k in _keys(ineq)}
     pz = {k: ones3 for k in _zkeys(ineq)}
     pb = [ones2 for _ in range(_nrows(ineq))]
@@ -1158,26 +1183,38 @@ def tt_block_amen_fused(
             x_cores = config.offload_fetch(tuple(x_cores))
         return list(x_cores), final_res
 
+    use_host = _use_host_engine()
+    if use_host:
+        from ttipm_tpu.solvers import fused_host
+
     last = False
     final_res = np.inf
     swp = 0
     for swp in range(nswp + 1):
         solve = (swp > 0) and not last
         caps = tuple(caps_bck if direction > 0 else caps_fwd)
-        with _trace_ctx():
-            (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _dispatch_retry(
-                _sweep_program,
-                A, b, tuple(x_cores), tuple(z_cores), tuple(XAX), tuple(Xb),
-                tuple(ZAX), tuple(Zb),
-                ineq=ineq, caps=caps, kick=kick_rank, solve=solve,
-                direction=direction,
+        if use_host:
+            res_d, dx_d = fused_host.host_sweep(
+                A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb,
+                ineq, caps, kick_rank, solve, direction,
             )
-        x_cores = list(x_cores)
-        z_cores = list(z_cores)
-        XAX = list(XAX)
-        Xb = list(Xb)
-        ZAX = list(ZAX)
-        Zb = list(Zb)
+        else:
+            with _trace_ctx():
+                (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = (
+                    _dispatch_retry(
+                        _sweep_program,
+                        A, b, tuple(x_cores), tuple(z_cores), tuple(XAX),
+                        tuple(Xb), tuple(ZAX), tuple(Zb),
+                        ineq=ineq, caps=caps, kick=kick_rank, solve=solve,
+                        direction=direction,
+                    )
+                )
+            x_cores = list(x_cores)
+            z_cores = list(z_cores)
+            XAX = list(XAX)
+            Xb = list(Xb)
+            ZAX = list(ZAX)
+            Zb = list(Zb)
 
         if last:
             break
@@ -1262,35 +1299,67 @@ def tt_restarted_block_amen_fused(
         return rn < termination_tol * rhs_norm0 or rn < 0.1 * rhs_norm0
 
     def refined(x_cores, res):
-        """Residual-equation refinement rounds on an accepted solution."""
+        """Residual-equation refinement rounds on an accepted solution.
+
+        Mixed-precision discipline (the classic iterative-refinement
+        pattern): the residual ``b - A x`` is ASSEMBLED AND ACCUMULATED IN
+        f64 even under the f32 profile — an f32 residual carries
+        eps32*||A||*||x|| of assembly noise, which at d>=5 sits ABOVE the
+        refine_target (measured round 3: f32 bucket-4 d5 stalled at slack
+        9.0e-3 because the refine rounds solved against their own noise).
+        Only the correction solve runs in the working dtype."""
         if refine_target is None:
             return x_cores, res
-        from ttipm_tpu.solvers.blocks import tt_block_train_add
+        import jax.numpy as jnp
+        from ttipm_tpu.solvers.blocks import (
+            cast_block_matrix, cast_block_vector, tt_block_train_add,
+        )
 
         rn = _fused_residual_norm(A, b, x_cores, ineq)
+        if not np.isfinite(rn) or rn <= refine_target:
+            return x_cores, min(res, rn / max(rhs_norm0, 1e-300))
         prod_tol = max(0.01 * refine_target, float(config.clamp_eps(eps)))
+        work_dt = x_cores[0].dtype
+        hi = jnp.float64
+        use_hi = work_dt != hi
+        A_hi = cast_block_matrix(block_A, hi) if use_hi else block_A
+        b_hi = cast_block_vector(block_b, hi) if use_hi else block_b
+        x_hi = [jnp.asarray(c, hi) for c in x_cores] if use_hi else x_cores
+        # one tight-tolerance block product per round (the residual train
+        # doubles as refinement RHS and norm source)
+        r_blk = b_hi - A_hi.block_product(x_hi, prod_tol)
+        rn = r_blk.norm
         for _ in range(2):
             if not np.isfinite(rn) or rn <= refine_target:
                 break
-            r_blk = block_b - block_A.block_product(x_cores, prod_tol)
+            r_work = (
+                cast_block_vector(r_blk, work_dt) if use_hi else r_blk
+            )
             try:
                 e_cores, _ = tt_block_amen_fused(
-                    block_A, r_blk, termination_tol, R, ineq, eps=eps,
+                    block_A, r_work, termination_tol, R, ineq, eps=eps,
                     nswp=inner_m, kick_rank=2, verbose=False,
-                    prepped=(A, _prep_rhs(r_blk, d, ineq)),
+                    prepped=(A, _prep_rhs(r_work, d, ineq)),
                 )
-                x_new = tt_block_train_add(x_cores, e_cores, bs, eps)
+                if use_hi:
+                    e_cores = [jnp.asarray(c, hi) for c in e_cores]
+                x_new = tt_block_train_add(x_hi, e_cores, bs, eps)
             except Exception:
                 break
-            rn_new = _fused_residual_norm(A, b, x_new, ineq)
-            # keep only clear improvements (an f32 solve saturates at its
-            # dtype floor; a failed residual solve must not regress x)
+            r_new = b_hi - A_hi.block_product(x_new, prod_tol)
+            rn_new = r_new.norm
+            # keep only clear improvements (a solve saturating at its
+            # dtype floor or a failed residual solve must not regress x)
             if not np.isfinite(rn_new) or rn_new >= 0.5 * rn:
                 break
             if verbose:
                 print(f"\t[fused refine] res {rn:.3e} -> {rn_new:.3e}",
                       flush=True)
-            x_cores, rn = x_new, rn_new
+            x_hi, rn, r_blk = x_new, rn_new, r_new
+        if use_hi:
+            x_cores = [jnp.asarray(c, work_dt) for c in x_hi]
+        else:
+            x_cores = x_hi
         return x_cores, min(res, rn / max(rhs_norm0, 1e-300))
 
     x_cores, res = tt_block_amen_fused(

@@ -536,6 +536,19 @@ def _bucket4(r: int) -> int:
     return ((int(r) + 3) // 4) * 4
 
 
+def _use_host_engine() -> bool:
+    """numpy window steps on CPU (config.py::host_algebra rationale); the
+    jitted window/whole-eigen programs remain the TPU engine."""
+    return (config.offload_device() is None and config.host_algebra()
+            and not config.fused_whole_solve())
+
+
+def _finalize(cores):
+    if _use_host_engine():
+        return [np.asarray(c) for c in cores]
+    return [jnp.asarray(c) for c in cores]
+
+
 def _prep_operator(cores, d: int, ra: Optional[int] = None) -> List[jax.Array]:
     # config.eigen_dtype() decides the pencil precision.  Default f64:
     # the step-size pencil (largest alpha with A + alpha*Delta PSD)
@@ -548,7 +561,7 @@ def _prep_operator(cores, d: int, ra: Optional[int] = None) -> List[jax.Array]:
     # that explode the remote compile (19 min measured, BASELINE.md).
     cs = [np.asarray(c, dtype=config.eigen_dtype()) for c in cores]
     if d == 1:
-        return [jnp.asarray(cs[0])]
+        return _finalize([cs[0]])
     ra_min = _bucket4(max(c.shape[-1] for c in cs[:-1]))
     ra = ra_min if ra is None else max(int(ra), ra_min)
     out = []
@@ -558,8 +571,8 @@ def _prep_operator(cores, d: int, ra: Optional[int] = None) -> List[jax.Array]:
         pad = [(0, rl - c.shape[0])] + [(0, 0)] * (c.ndim - 2) + [
             (0, rr - c.shape[-1])
         ]
-        out.append(jnp.asarray(np.pad(c, pad)))
-    return out
+        out.append(np.pad(c, pad))
+    return _finalize(out)
 
 
 def _vec_caps(d: int, R: int, n: int) -> List[int]:
@@ -593,14 +606,14 @@ def _prep_vec(x0, d: int, n: int, caps: List[int], rng) -> List[jax.Array]:
                 folded = np.pad(folded, [(0, caps[k] - r), (0, 0)])
             cores[k] = u_k.reshape(*sh[:-1], caps[k])
             cores[k + 1] = folded.reshape(caps[k], *nxt.shape[1:])
-        return [jnp.asarray(c) for c in cores]
+        return _finalize(cores)
     cores = []
     for k in range(d):
         rl = 1 if k == 0 else caps[k - 1]
         rr = 1 if k == d - 1 else caps[k]
-        cores.append(jnp.asarray(rng.randn(rl, n, rr),
-                                 dtype=config.eigen_dtype()))
-    return cores
+        cores.append(np.asarray(rng.randn(rl, n, rr),
+                                dtype=config.eigen_dtype()))
+    return _finalize(cores)
 
 
 # ---------------------------------------------------------------------------
@@ -663,12 +676,25 @@ def _tt_max_generalised_eigen_fused_impl(
             step_size *= tol / max_res
         return step_size, x_cores
 
-    ones3 = jnp.ones((1, 1, 1), dtype=config.eigen_dtype())
+    use_host = _use_host_engine()
+    if use_host:
+        from ttipm_tpu.solvers import fused_eigen_host as _H
+
+        win_step, last_step, orth_step = (
+            _H.gen_window_step, _H.gen_last_step, _H.orth_bck_step
+        )
+        ones3 = np.ones((1, 1, 1), dtype=config.eigen_dtype())
+        tol_dev = float(tol)
+        alpha = 1.0
+    else:
+        win_step, last_step, orth_step = (
+            _gen_window_step, _gen_last_step, _orth_bck_step
+        )
+        ones3 = jnp.ones((1, 1, 1), dtype=config.eigen_dtype())
+        tol_dev = jnp.asarray(tol, dtype=config.eigen_dtype())
+        alpha = jnp.asarray(1.0, dtype=config.eigen_dtype())
     XAX = [ones3] + [None] * (d - 1) + [ones3]
     XDX = [ones3] + [None] * (d - 1) + [ones3]
-
-    tol_dev = jnp.asarray(tol, dtype=config.eigen_dtype())
-    alpha = jnp.asarray(1.0, dtype=config.eigen_dtype())
     if config.offload_device() is not None:
         (A_p, D_p, x_cores, XAX, XDX, tol_dev, alpha) = config.offload_put(
             (A_p, D_p, x_cores, XAX, XDX, tol_dev, alpha)
@@ -690,7 +716,7 @@ def _tt_max_generalised_eigen_fused_impl(
             nb_idx = k + 1 if direction > 0 else k - 1
             neighbor = x_cores[nb_idx] if split else x_cores[k]
             r_out = (caps[k] if direction > 0 else caps[k - 1]) if split else 1
-            core, nb_new, alpha, _, pA_upd, pD_upd = _gen_last_step(
+            core, nb_new, alpha, _, pA_upd, pD_upd = last_step(
                 XAX[k], A_p[k], XAX[k + 1], XDX[k], D_p[k], XDX[k + 1],
                 neighbor, x_cores[k], alpha, tol_dev,
                 r_out=r_out, bwd=bwd, split=split,
@@ -713,7 +739,7 @@ def _tt_max_generalised_eigen_fused_impl(
             res_list = []
             for k in range(d - 1, 0, -1):
                 (x_cores[k - 1], x_cores[k], alpha, res, scl, pA_upd,
-                 pD_upd) = _gen_window_step(
+                 pD_upd) = win_step(
                     XAX[k - 1], A_p[k - 1], A_p[k], XAX[k + 1],
                     XDX[k - 1], D_p[k - 1], D_p[k], XDX[k + 1],
                     x_cores[k - 1], x_cores[k], alpha, tol_dev,
@@ -728,7 +754,7 @@ def _tt_max_generalised_eigen_fused_impl(
                 zero_step = True
         else:
             for k in range(d - 1, 0, -1):
-                core, x_prev, (pA_upd, pD_upd) = _orth_bck_step(
+                core, x_prev, (pA_upd, pD_upd) = orth_step(
                     x_cores[k - 1], x_cores[k],
                     (A_p[k], D_p[k]), (XAX[k + 1], XDX[k + 1]),
                     r_out=caps[k - 1], n_ops=2,
@@ -748,7 +774,7 @@ def _tt_max_generalised_eigen_fused_impl(
         res_list = []
         for k in range(d - 1):
             (x_cores[k], x_cores[k + 1], alpha, res, scl, pA_upd,
-             pD_upd) = _gen_window_step(
+             pD_upd) = win_step(
                 XAX[k], A_p[k], A_p[k + 1], XAX[k + 2],
                 XDX[k], D_p[k], D_p[k + 1], XDX[k + 2],
                 x_cores[k], x_cores[k + 1], alpha, tol_dev,
@@ -830,7 +856,19 @@ def _tt_min_eig_fused_impl(
             )
         return x_cores, min_eig_value
 
-    ones3 = jnp.ones((1, 1, 1), dtype=config.eigen_dtype())
+    use_host = _use_host_engine()
+    if use_host:
+        from ttipm_tpu.solvers import fused_eigen_host as _H
+
+        minw_step, minl_step, orth_step = (
+            _H.min_window_step, _H.min_last_step, _H.orth_bck_step
+        )
+        ones3 = np.ones((1, 1, 1), dtype=config.eigen_dtype())
+    else:
+        minw_step, minl_step, orth_step = (
+            _min_window_step, _min_last_step, _orth_bck_step
+        )
+        ones3 = jnp.ones((1, 1, 1), dtype=config.eigen_dtype())
     XAX = [ones3] + [None] * (d - 1) + [ones3]
     if config.offload_device() is not None:
         A_p, x_cores, XAX = config.offload_put((A_p, x_cores, XAX))
@@ -846,7 +884,7 @@ def _tt_min_eig_fused_impl(
             nb_idx = k + 1 if direction > 0 else k - 1
             neighbor = x_cores[nb_idx] if split else x_cores[k]
             r_out = (caps[k] if direction > 0 else caps[k - 1]) if split else 1
-            core, nb_new, p_upd = _min_last_step(
+            core, nb_new, p_upd = minl_step(
                 XAX[k], A_p[k], XAX[k + 1], neighbor, x_cores[k],
                 r_out=r_out, bwd=bwd, split=split,
             )
@@ -864,7 +902,7 @@ def _tt_min_eig_fused_impl(
         if swp > 0:
             res_list = []
             for k in range(d - 1, 0, -1):
-                x_cores[k - 1], x_cores[k], res, p_upd = _min_window_step(
+                x_cores[k - 1], x_cores[k], res, p_upd = minw_step(
                     XAX[k - 1], A_p[k - 1], A_p[k], XAX[k + 1],
                     x_cores[k - 1], x_cores[k], r_out=caps[k - 1], bwd=True,
                 )
@@ -873,7 +911,7 @@ def _tt_min_eig_fused_impl(
             max_res = max(float(r) for r in res_list)
         else:
             for k in range(d - 1, 0, -1):
-                core, x_prev, (p_upd,) = _orth_bck_step(
+                core, x_prev, (p_upd,) = orth_step(
                     x_cores[k - 1], x_cores[k], (A_p[k],), (XAX[k + 1],),
                     r_out=caps[k - 1], n_ops=1,
                 )
@@ -887,7 +925,7 @@ def _tt_min_eig_fused_impl(
 
         res_list = []
         for k in range(d - 1):
-            x_cores[k], x_cores[k + 1], res, p_upd = _min_window_step(
+            x_cores[k], x_cores[k + 1], res, p_upd = minw_step(
                 XAX[k], A_p[k], A_p[k + 1], XAX[k + 2],
                 x_cores[k], x_cores[k + 1], r_out=caps[k], bwd=False,
             )

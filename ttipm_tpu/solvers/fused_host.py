@@ -1,0 +1,692 @@
+"""numpy engine for the fused fixed-rank block-AMEn sweep.
+
+Same algorithm as the jitted sweep programs of ``solvers/fused.py`` —
+fixed bond rank R, Schur-elimination local KKT solves with the in-kernel
+never-regress guard, AMEn z-train enrichment folded into the fixed basis,
+Petrov-Galerkin phi updates — executed with numpy/LAPACK on the host.
+
+Why this exists (round-4 profile, results/profile_d3.txt): at small d the
+local panels are tiny (m = R*4*R <= a few hundred) and a warm-cache CPU
+solve still spent >90% of wall clock in XLA trace/lower/compile/dispatch
+of the per-signature sweep programs — the arithmetic is microseconds.
+The reference's Cython engine has zero such overhead, and beating its
+wall clock on CPU requires the same property.  On TPU runs the jitted
+device programs of fused.py remain the engine (config.offload_device()
+selects them); this module is the host-side twin, dispatched by
+``tt_block_amen_fused`` when host-algebra mode is active
+(config.py::host_algebra rationale).
+
+Parity: the numerical semantics mirror fused.py line-for-line (same
+guards, scalings, enrichment ranks); reference algorithm
+/root/reference/src/tt_als.py:277-741 + src/tt_ipm.py:183-401.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List
+
+import numpy as np
+import opt_einsum
+import scipy.linalg as sla
+
+from ttipm_tpu import config
+
+TINY = 1e-300
+
+
+@lru_cache(maxsize=8192)
+def _expr(eq: str, shapes):
+    """Cached opt_einsum contraction plan, keyed on (equation, shapes) —
+    the reference's cached_einsum pattern (src/tt_ops.py:22-28).  Path
+    search costs ~100us per call; the sweeps issue thousands of identical
+    tiny contractions per solve."""
+    return opt_einsum.contract_expression(eq, *shapes)
+
+
+def _es(eq: str, *ops):
+    return _expr(eq, tuple(o.shape for o in ops))(*ops)
+
+
+def _keys(ineq: bool):
+    return ("00", "01", "12", "21", "22", "31", "33") if ineq else (
+        "00", "01", "12", "21", "22"
+    )
+
+
+def _nrows(ineq: bool) -> int:
+    return 4 if ineq else 3
+
+
+def _svd(mat: np.ndarray):
+    try:
+        return np.linalg.svd(mat, full_matrices=False)
+    except np.linalg.LinAlgError:
+        return sla.svd(mat, full_matrices=False, lapack_driver="gesvd")
+
+
+# ---------------------------------------------------------------------------
+# Block algebra (numpy twins of fused.py:74-165)
+# ---------------------------------------------------------------------------
+
+def _apply(p_l, a, p_r, v):
+    return _es("lsr,smnS,LSR,rnR->lmL", p_l, a, p_r, v)
+
+
+def _apply_T(p_l, a, p_r, v):
+    return _es("lsr,smnS,LSR,lmL->rnR", p_l, a, p_r, v)
+
+
+def _proj(p_l, a, p_r):
+    m = p_l.shape[0] * a.shape[1] * p_r.shape[0]
+    return _es("lsr,smnS,LSR->lmLrnR", p_l, a, p_r).reshape(m, m)
+
+
+def _local_product(pl, A, pr, x, ineq: bool):
+    y0 = _apply(pl["00"], A["00"], pr["00"], x[:, 0]) + _apply(
+        pl["01"], A["01"], pr["01"], x[:, 1]
+    )
+    y1 = _apply_T(pl["01"], A["01"], pr["01"], x[:, 0]) + _apply(
+        pl["12"], A["12"], pr["12"], x[:, 2]
+    )
+    y2 = _apply(pl["21"], A["21"], pr["21"], x[:, 1]) + _apply(
+        pl["22"], A["22"], pr["22"], x[:, 2]
+    )
+    if not ineq:
+        return np.stack([y0, y1, y2], axis=1)
+    y1 = y1 + _apply(pl["12"], A["12"], pr["12"], x[:, 3])
+    y3 = _apply(pl["31"], A["31"], pr["31"], x[:, 1]) + _apply(
+        pl["33"], A["33"], pr["33"], x[:, 3]
+    )
+    return np.stack([y0, y1, y2, y3], axis=1)
+
+
+def _z_product(zl, A, zr, x, ineq: bool):
+    y0 = _apply(zl["00"], A["00"], zr["00"], x[:, 0]) + _apply(
+        zl["01"], A["01"], zr["01"], x[:, 1]
+    )
+    y1 = _es(
+        "lsr,snmS,LSR,rnR->lmL", zl["10"], A["01"], zr["10"], x[:, 0]
+    ) + _apply(zl["12"], A["12"], zr["12"], x[:, 2])
+    y2 = _apply(zl["21"], A["21"], zr["21"], x[:, 1]) + _apply(
+        zl["22"], A["22"], zr["22"], x[:, 2]
+    )
+    if not ineq:
+        return np.stack([y0, y1, y2], axis=1)
+    y1 = y1 + _apply(zl["12"], A["12"], zr["12"], x[:, 3])
+    y3 = _apply(zl["31"], A["31"], zr["31"], x[:, 1]) + _apply(
+        zl["33"], A["33"], zr["33"], x[:, 3]
+    )
+    return np.stack([y0, y1, y2, y3], axis=1)
+
+
+def _mixed_product(ml, mr, A, x, ineq: bool, transpose_right_phi: bool):
+    y0 = _apply(ml["00"], A["00"], mr["00"], x[:, 0]) + _apply(
+        ml["01"], A["01"], mr["01"], x[:, 1]
+    )
+    if transpose_right_phi:
+        y1_t = _es(
+            "rsl,snmS,LSR,rnR->lmL", ml["01"], A["01"], mr["10"], x[:, 0]
+        )
+    else:
+        y1_t = _es(
+            "lsr,snmS,RSL,rnR->lmL", ml["10"], A["01"], mr["01"], x[:, 0]
+        )
+    y1 = y1_t + _apply(ml["12"], A["12"], mr["12"], x[:, 2])
+    y2 = _apply(ml["21"], A["21"], mr["21"], x[:, 1]) + _apply(
+        ml["22"], A["22"], mr["22"], x[:, 2]
+    )
+    if not ineq:
+        return np.stack([y0, y1, y2], axis=1)
+    y1 = y1 + _apply(ml["12"], A["12"], mr["12"], x[:, 3])
+    y3 = _apply(ml["31"], A["31"], mr["31"], x[:, 1]) + _apply(
+        ml["33"], A["33"], mr["33"], x[:, 3]
+    )
+    return np.stack([y0, y1, y2, y3], axis=1)
+
+
+def _project_rhs(bl, b, br, ineq: bool):
+    cols = [
+        _es("br,bmB,BR->rmR", bl[i], b[i], br[i])
+        for i in range(_nrows(ineq))
+    ]
+    return np.stack(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Dense Schur local solve (numpy twins of fused.py:167-353)
+# ---------------------------------------------------------------------------
+
+def _chol_solve(L, b):
+    y = sla.solve_triangular(L, b, lower=True)
+    return sla.solve_triangular(L.T, y, lower=False)
+
+
+def _den_clamp(den):
+    rel = 1e-6 if den.dtype == np.float32 else 1e-14
+    floor = rel * np.max(np.abs(den))
+    sign = np.where(den >= 0, 1.0, -1.0).astype(den.dtype)
+    return sign * np.maximum(np.abs(den), floor)
+
+
+def _tikhonov(S):
+    m = S.shape[0]
+    if S.dtype == np.float64:
+        lam = 1e-11
+    else:
+        lam = 1e-6 * np.max(np.abs(S)) + 1e-11
+    return S + lam * np.eye(m, dtype=S.dtype)
+
+
+def _cholesky(S):
+    try:
+        return np.linalg.cholesky(S)
+    except np.linalg.LinAlgError:
+        # same effect as the XLA path (which returns NaN and trips the
+        # never-regress guard): poison the factors so the candidate is
+        # rejected and the previous core kept
+        return np.full_like(S, np.nan)
+
+
+def _qr_factor(a):
+    return np.linalg.qr(a, mode="reduced")
+
+
+def _qr_apply(qr, b):
+    q, r = qr
+    return sla.solve_triangular(r, q.T @ b, lower=False)
+
+
+def _dense_factor(pl, A, pr, inv_I, ineq: bool):
+    L_L_Z = _cholesky(_tikhonov(_proj(pl["21"], A["21"], pr["21"])))
+    mL_eq = _proj(pl["01"], A["01"], pr["01"])
+    if not np.all(np.isfinite(L_L_Z)):
+        raise FloatingPointError("cholesky failed")
+    if not ineq:
+        L_X_I_inv = _proj(pl["22"], A["22"], pr["22"]) * inv_I.reshape(1, -1)
+        S = _chol_solve(L_L_Z, L_X_I_inv)
+        S = mL_eq @ (S @ mL_eq.T)
+        S = _tikhonov(S + _proj(pl["00"], A["00"], pr["00"]))
+        return (L_L_Z, mL_eq, L_X_I_inv, _qr_factor(S))
+
+    Lz_inv_Lx = _chol_solve(L_L_Z, _proj(pl["22"], A["22"], pr["22"]))
+    T_op = _proj(pl["31"], A["31"], pr["31"])
+    Lz_inv_Lx_scaled = Lz_inv_Lx * inv_I.reshape(1, -1)
+    S = _proj(pl["00"], A["00"], pr["00"])
+    S = S + mL_eq @ (Lz_inv_Lx_scaled @ mL_eq.T)
+    D = _proj(pl["33"], A["33"], pr["33"])
+    D = _tikhonov(D + T_op @ Lz_inv_Lx)
+    TY = (T_op @ Lz_inv_Lx_scaled) @ mL_eq.T
+    YT = mL_eq @ Lz_inv_Lx
+    d_qr = _qr_factor(D)
+    lhs_y = _tikhonov(S - YT @ _qr_apply(d_qr, TY))
+    return (L_L_Z, mL_eq, Lz_inv_Lx_scaled, T_op, TY, YT, d_qr,
+            _qr_factor(lhs_y))
+
+
+def _dense_apply(fac, pl, A, pr, inv_I, rhs, ineq: bool):
+    r, _, n, R = rhs.shape
+    m = r * n * R
+    mR_p = rhs[:, 0].reshape(m, 1)
+    mR_d = rhs[:, 1].reshape(m, 1)
+    mR_c = rhs[:, 2].reshape(m, 1)
+    if not ineq:
+        L_L_Z, mL_eq, L_X_I_inv, s_qr = fac
+        b_vec = mR_p - mL_eq @ _chol_solve(L_L_Z, mR_c - L_X_I_inv @ mR_d)
+        y = _qr_apply(s_qr, b_vec)
+        y3 = y.reshape(r, n, R)
+        z = inv_I * (rhs[:, 1] - _apply_T(pl["01"], A["01"], pr["01"], y3))
+        x = _chol_solve(
+            L_L_Z, mR_c - _apply(pl["22"], A["22"], pr["22"], z).reshape(m, 1)
+        )
+        return np.stack([y3, x.reshape(r, n, R), z], axis=1)
+
+    (L_L_Z, mL_eq, Lz_inv_Lx_scaled, T_op, TY, YT, d_qr, y_qr) = fac
+    mR_t = rhs[:, 3].reshape(m, 1)
+    Lz_inv_Rc = _chol_solve(L_L_Z, mR_c)
+    u = mR_p - mL_eq @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
+    v = mR_t - T_op @ (Lz_inv_Rc - Lz_inv_Lx_scaled @ mR_d)
+    rhs_y = u - YT @ _qr_apply(d_qr, v)
+    y = _qr_apply(y_qr, rhs_y)
+    t = _qr_apply(d_qr, v - TY @ y)
+    y3 = y.reshape(r, n, R)
+    t3 = t.reshape(r, n, R)
+    z3 = (
+        inv_I * (rhs[:, 1] - _apply_T(pl["01"], A["01"], pr["01"], y3)) - t3
+    )
+    x = _chol_solve(
+        L_L_Z, mR_c - _apply(pl["22"], A["22"], pr["22"], z3).reshape(m, 1)
+    )
+    return np.stack([y3, x.reshape(r, n, R), z3, t3], axis=1)
+
+
+def _hi_tree(t):
+    if isinstance(t, dict):
+        return {k: v.astype(np.float64) for k, v in t.items()}
+    return [v.astype(np.float64) for v in t]
+
+
+def _solve_local(pl, A, pr, bl, b, br, prev, ineq: bool):
+    """Local KKT solve with never-regress guard; mirrors
+    fused.py::_solve_local including the f32 mixed-precision modes."""
+    mode = config.mixed_local() if prev.dtype == np.float32 else "off"
+    if mode != "off":
+        pl_h, A_h, pr_h = _hi_tree(pl), _hi_tree(A), _hi_tree(pr)
+        prev_h = prev.astype(np.float64)
+        rhs_h = _project_rhs(_hi_tree(bl), _hi_tree(b), _hi_tree(br), ineq)
+        inv_I_h = 1.0 / _den_clamp(_es(
+            "lsr,smnS,LSR->lmL", pl_h["12"], A_h["12"], pr_h["12"]
+        ))
+        inv_I = inv_I_h.astype(prev.dtype)
+        rhs = rhs_h.astype(prev.dtype)
+    else:
+        pl_h, A_h, pr_h = pl, A, pr
+        prev_h = prev
+        rhs_h = _project_rhs(bl, b, br, ineq)
+        inv_I_h = 1.0 / _den_clamp(_es(
+            "lsr,smnS,LSR->lmL", pl["12"], A["12"], pr["12"]
+        ))
+        inv_I = inv_I_h
+        rhs = rhs_h
+    norm_rhs = max(float(np.linalg.norm(rhs_h)), 1e-10)
+    res_old = float(np.linalg.norm(
+        _local_product(pl_h, A_h, pr_h, prev_h, ineq) - rhs_h
+    )) / norm_rhs
+    try:
+        if mode == "f64":
+            fac = _dense_factor(pl_h, A_h, pr_h, inv_I_h, ineq)
+            cand = _dense_apply(
+                fac, pl_h, A_h, pr_h, inv_I_h, rhs_h, ineq
+            ).astype(prev.dtype)
+        else:
+            fac = _dense_factor(pl, A, pr, inv_I, ineq)
+            cand = _dense_apply(fac, pl, A, pr, inv_I, rhs, ineq)
+        if mode == "refine":
+            for _ in range(2):
+                r_h = rhs_h - _local_product(
+                    pl_h, A_h, pr_h, cand.astype(np.float64), ineq
+                )
+                d = _dense_apply(
+                    fac, pl, A, pr, inv_I, r_h.astype(prev.dtype), ineq
+                )
+                cand = cand + d
+    except (FloatingPointError, np.linalg.LinAlgError):
+        dx = 0.0
+        return prev, rhs, res_old, res_old, dx
+    res_new = float(np.linalg.norm(
+        _local_product(pl_h, A_h, pr_h,
+                       cand.astype(rhs_h.dtype), ineq) - rhs_h
+    )) / norm_rhs
+    sane = np.linalg.norm(cand) < 1e8 * (1.0 + np.linalg.norm(prev))
+    good = np.isfinite(res_new) and (res_new <= res_old) and sane
+    sol = cand if good else prev
+    res_min = res_new if good else res_old
+    dx = float(np.linalg.norm(sol - prev)) / max(
+        float(np.linalg.norm(sol)), TINY
+    )
+    return sol, rhs, res_old, res_min, dx
+
+
+def _column_scales(core):
+    norms = np.sqrt(np.sum(core**2, axis=(0, 2, 3)))
+    rel = 1e-5 if core.dtype == np.float32 else 1e-12
+    floor = max(rel * float(np.max(norms)), 1e-10)
+    return np.maximum(norms, floor).reshape(1, -1, 1, 1)
+
+
+def _unit_fro(core):
+    nrm = np.sqrt(np.sum(core * core))
+    return core / max(float(nrm), TINY)
+
+
+def _phi_bck_A(phi_next, cl, a, cr):
+    return _es("LSR,lML,sMNS,rNR->lsr", phi_next, cl, a, cr)
+
+
+def _phi_fwd_A(phi_prev, cl, a, cr):
+    return _es("lsr,lML,sMNS,rNR->LSR", phi_prev, cl, a, cr)
+
+
+def _phi_bck_rhs(phi_next, cb, c):
+    return _es("BR,bnB,rnR->br", phi_next, cb, c)
+
+
+def _phi_fwd_rhs(phi_prev, cb, c):
+    return _es("br,bnB,rnR->BR", phi_prev, cb, c)
+
+
+def _phis_bck(A, b, x_core, z_core, pr, br, zr, zbr, ineq: bool):
+    pl_new = {k: _phi_bck_A(pr[k], x_core, A[k], x_core) for k in _keys(ineq)}
+    bl_new = [
+        _phi_bck_rhs(br[i], b[i], x_core) for i in range(_nrows(ineq))
+    ]
+    zl_new = {
+        k: _phi_bck_A(zr[k], z_core, A[k], x_core) for k in _keys(ineq)
+    }
+    zl_new["10"] = _phi_bck_A(
+        zr["10"], z_core, np.swapaxes(A["01"], 1, 2), x_core
+    )
+    zbl_new = [
+        _phi_bck_rhs(zbr[i], b[i], z_core) for i in range(_nrows(ineq))
+    ]
+    return pl_new, bl_new, zl_new, zbl_new
+
+
+def _phis_fwd(A, b, x_core, z_core, pl, bl, zl, zbl, ineq: bool):
+    pr_new = {k: _phi_fwd_A(pl[k], x_core, A[k], x_core) for k in _keys(ineq)}
+    br_new = [
+        _phi_fwd_rhs(bl[i], b[i], x_core) for i in range(_nrows(ineq))
+    ]
+    zr_new = {
+        k: _phi_fwd_A(zl[k], z_core, A[k], x_core) for k in _keys(ineq)
+    }
+    zr_new["10"] = _phi_fwd_A(
+        zl["10"], z_core, np.swapaxes(A["01"], 1, 2), x_core
+    )
+    zbr_new = [
+        _phi_fwd_rhs(zbl[i], b[i], z_core) for i in range(_nrows(ineq))
+    ]
+    return pr_new, br_new, zr_new, zbr_new
+
+
+def _trunc_svd(mat, k: int):
+    u, s, vt = _svd(mat)
+    return u[:, :k], (s[:k, None] * vt[:k])
+
+
+# ---------------------------------------------------------------------------
+# Sweep steps (numpy twins of fused.py:451-617)
+# ---------------------------------------------------------------------------
+
+def _bck_split_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_km1,
+                    z_k, z_km1, ineq, r_out, kick, solve):
+    rl, bs, n, rr = x_k.shape
+    rz = z_k.shape[0]
+    rz1 = z_k.shape[-1]
+    r_out = min(r_out, n * rr, rl * bs)
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+    else:
+        sol = x_k
+        res_old = res_min = dx = 0.0
+
+    scales = _column_scales(sol)
+    mat = np.reshape(scales * sol, (rl * bs, n * rr)).T
+    u, s, vt = _svd(mat)
+    v = s[:, None] * vt
+
+    width = min(r_out + kick, n * rr, rl * bs) if solve else r_out
+    if solve and width > r_out:
+        sol_trunc = np.reshape((u[:, :r_out] @ v[:r_out]).T, (rl, bs, n, rr))
+        Axz = _mixed_product(zl, pr, A, sol_trunc, ineq,
+                             transpose_right_phi=False)
+        rhsxz = _project_rhs(zbl, b, br, ineq)
+        resxz = np.reshape(rhsxz - Axz, (rz * bs, n * rr)).T
+        uz, _ = _trunc_svd(resxz, width - r_out)
+        u_aug = np.concatenate([u[:, :r_out], uz], axis=1)
+        q, Rf = np.linalg.qr(u_aug, mode="reduced")
+        u_core = np.ascontiguousarray(q.T).reshape(width, n, rr)
+        v_new = (Rf[:, :r_out] @ v[:r_out]).T.reshape(rl, bs, width)
+    else:
+        u_core = np.ascontiguousarray(u[:, :width].T).reshape(width, n, rr)
+        v_new = v[:width].T.reshape(rl, bs, width)
+
+    x_km1_new = _es("rdc,cbR->rbdR", x_km1, v_new) / scales
+
+    if solve:
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        resz = np.reshape(rhsz - Az, (rz * bs, n * rz1)).T
+    else:
+        resz = np.reshape(z_k, (rz * bs, n * rz1)).T
+    uzz, vzz = _trunc_svd(resz, kick)
+    z_core = np.ascontiguousarray(uzz.T).reshape(-1, n, rz1)
+    vz_new = vzz.T.reshape(rz, bs, -1)
+    z_km1_new = _unit_fro(_es("rdc,cbR->rbdR", z_km1, vz_new) / scales)
+
+    pl_new, bl_new, zl_new, zbl_new = _phis_bck(
+        A, b, u_core, z_core, pr, br, zr, zbr, ineq
+    )
+    return (u_core, x_km1_new, z_core, z_km1_new, pl_new, bl_new, zl_new,
+            zbl_new, res_old, res_min, dx)
+
+
+def _bck_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
+                    ineq, solve):
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
+    else:
+        sol = x_k
+        z_new = z_k
+        res_old = res_min = dx = 0.0
+    return sol, z_new, res_old, res_min, dx
+
+
+def _fwd_split_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_kp1,
+                    z_k, z_kp1, ineq, r_out, kick, solve):
+    rl, bs, n, rr = x_k.shape
+    rz = z_k.shape[0]
+    rz1 = z_k.shape[-1]
+    r_out = min(r_out, rl * n, bs * rr)
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+    else:
+        sol = x_k
+        res_old = res_min = dx = 0.0
+
+    scales = _column_scales(sol)
+    mat = np.transpose(scales * sol, (0, 2, 1, 3)).reshape(rl * n, bs * rr)
+    u, s, vt = _svd(mat)
+    v = s[:, None] * vt
+    u3 = u.reshape(rl, n, -1)
+
+    width = min(r_out + kick, rl * n, bs * rr) if solve else r_out
+    if solve and width > r_out:
+        sol_trunc = _es(
+            "rbR,RdK->rdbK", u3[:, :, :r_out],
+            v[:r_out].reshape(r_out, bs, rr),
+        )
+        Axz = _mixed_product(pl, zr, A, sol_trunc, ineq,
+                             transpose_right_phi=True)
+        rhsxz = _project_rhs(bl, b, zbr, ineq)
+        resxz = np.transpose(rhsxz - Axz, (0, 2, 1, 3)).reshape(
+            rl * n, bs * rz1
+        )
+        uz, _ = _trunc_svd(resxz, width - r_out)
+        u_aug = np.concatenate(
+            [u3.reshape(rl * n, -1)[:, :r_out], uz], axis=1
+        )
+        q, Rf = np.linalg.qr(u_aug, mode="reduced")
+        u_core = q.reshape(rl, n, width)
+        v_new = _es(
+            "rR,RdK->rdK", Rf[:, :r_out], v[:r_out].reshape(r_out, bs, rr),
+        )
+    else:
+        u_core = u3[:, :, :width]
+        v_new = v[:width].reshape(width, bs, rr)
+
+    x_kp1_new = _es("rbR,RdK->rbdK", v_new, x_kp1) / scales
+
+    if solve:
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        resz = np.transpose(rhsz - Az, (0, 2, 1, 3)).reshape(
+            rz * n, bs * rz1
+        )
+    else:
+        resz = np.transpose(z_k, (0, 2, 1, 3)).reshape(rz * n, bs * rz1)
+    uzz, vzz = _trunc_svd(resz, kick)
+    z_core = uzz.reshape(rz, n, -1)
+    vz_new = vzz.reshape(-1, bs, rz1)
+    z_kp1_new = _unit_fro(_es("rbR,RdK->rbdK", vz_new, z_kp1) / scales)
+
+    pr_new, br_new, zr_new, zbr_new = _phis_fwd(
+        A, b, u_core, z_core, pl, bl, zl, zbl, ineq
+    )
+    return (u_core, x_kp1_new, z_core, z_kp1_new, pr_new, br_new, zr_new,
+            zbr_new, res_old, res_min, dx)
+
+
+def _fwd_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
+                    ineq, solve):
+    if solve:
+        sol, rhs, res_old, res_min, dx = _solve_local(
+            pl, A, pr, bl, b, br, x_k, ineq
+        )
+        Az = _z_product(zl, A, zr, sol, ineq)
+        rhsz = _project_rhs(zbl, b, zbr, ineq)
+        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
+    else:
+        sol = x_k
+        z_new = z_k
+        res_old = res_min = dx = 0.0
+    return sol, z_new, res_old, res_min, dx
+
+
+# ---------------------------------------------------------------------------
+# Whole-sweep driver (twin of fused.py::_sweep_program)
+# ---------------------------------------------------------------------------
+
+def host_sweep(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb,
+               ineq: bool, caps, kick: int, solve: bool, direction: int):
+    """One full sweep in numpy; mutates the passed lists in place and
+    returns (res, dx) maxima."""
+    d = len(x_cores)
+    bs = _nrows(ineq)
+    res_vals = []
+    dx_vals = []
+    if direction > 0:  # backward
+        for k in range(d - 1, -1, -1):
+            A_k = {key: A[key][k] for key in _keys(ineq)}
+            b_k = [b[i][k] for i in range(bs)]
+            if k > 0:
+                (u_core, x_prev, z_core, z_prev, pl_new, bl_new, zl_new,
+                 zbl_new, r_old, r_min, dx) = _bck_split_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], x_cores[k - 1], z_cores[k], z_cores[k - 1],
+                    ineq, caps[k - 1], kick, solve,
+                )
+                x_cores[k] = u_core
+                x_cores[k - 1] = x_prev
+                z_cores[k] = z_core
+                z_cores[k - 1] = z_prev
+                XAX[k] = pl_new
+                Xb[k] = bl_new
+                ZAX[k] = zl_new
+                Zb[k] = zbl_new
+            else:
+                x_new, z_new, r_old, r_min, dx = _bck_write_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], z_cores[k], ineq, solve,
+                )
+                x_cores[k] = x_new
+                z_cores[k] = z_new
+            res_vals.append(r_old)
+            dx_vals.append(dx)
+    else:  # forward
+        for k in range(d):
+            A_k = {key: A[key][k] for key in _keys(ineq)}
+            b_k = [b[i][k] for i in range(bs)]
+            if k < d - 1:
+                (u_core, x_next, z_core, z_next, pr_new, br_new, zr_new,
+                 zbr_new, r_old, r_min, dx) = _fwd_split_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], x_cores[k + 1], z_cores[k], z_cores[k + 1],
+                    ineq, caps[k], kick, solve,
+                )
+                x_cores[k] = u_core
+                x_cores[k + 1] = x_next
+                z_cores[k] = z_core
+                z_cores[k + 1] = z_next
+                XAX[k + 1] = pr_new
+                Xb[k + 1] = br_new
+                ZAX[k + 1] = zr_new
+                Zb[k + 1] = zbr_new
+            else:
+                x_new, z_new, r_old, r_min, dx = _fwd_write_step(
+                    XAX[k], A_k, XAX[k + 1], Xb[k], b_k, Xb[k + 1],
+                    ZAX[k], ZAX[k + 1], Zb[k], Zb[k + 1],
+                    x_cores[k], z_cores[k], ineq, solve,
+                )
+                x_cores[k] = x_new
+                z_cores[k] = z_new
+            res_vals.append(r_old)
+            dx_vals.append(dx)
+    return float(np.max(res_vals)), float(np.max(dx_vals))
+
+
+# ---------------------------------------------------------------------------
+# Global residual (twin of fused.py::_fused_residual_norm, f64 accumulation)
+# ---------------------------------------------------------------------------
+
+_ROW_TERMS_EQ = (
+    (("00", 0, False), ("01", 1, False)),
+    (("01", 0, True), ("12", 2, False)),
+    (("21", 1, False), ("22", 2, False)),
+)
+_ROW_TERMS_INEQ = (
+    (("00", 0, False), ("01", 1, False)),
+    (("01", 0, True), ("12", 2, False), ("12", 3, False)),
+    (("21", 1, False), ("22", 2, False)),
+    (("31", 1, False), ("33", 3, False)),
+)
+
+
+def _virtual_term_cores(A, x_cols, key: str, col: int, transpose: bool):
+    out = []
+    for a_c, x_c in zip(A[key], x_cols[col]):
+        eq = "snmS,xnX->sxmSX" if transpose else "smnS,xnX->sxmSX"
+        v = _es(eq, a_c, x_c)
+        s, x, m, S, X = v.shape
+        out.append(v.reshape(s * x, m, S * X))
+    return out
+
+
+def _train_dot(tr1, tr2):
+    rho = np.ones((1, 1), dtype=np.float64)
+    for c1, c2 in zip(tr1, tr2):
+        rho = _es(
+            "ab,amA,bmB->AB", rho, c1.astype(np.float64),
+            c2.astype(np.float64),
+        )
+    return float(rho[0, 0])
+
+
+def host_residual_norm(A, b, x_cores, ineq: bool) -> float:
+    block_pos = int(np.argmax([c.ndim for c in x_cores]))
+    bs = _nrows(ineq)
+    x_shared = [c for i, c in enumerate(x_cores) if i != block_pos]
+    x_cols = []
+    for j in range(bs):
+        cores = list(x_shared)
+        cores.insert(block_pos, x_cores[block_pos][:, j])
+        x_cols.append(cores)
+    terms_tbl = _ROW_TERMS_INEQ if ineq else _ROW_TERMS_EQ
+    res_sq = 0.0
+    for i, terms in enumerate(terms_tbl):
+        bb = _train_dot(b[i], b[i])
+        acc = bb
+        vts = [
+            _virtual_term_cores(A, x_cols, key, col, tr)
+            for (key, col, tr) in terms
+        ]
+        for t in vts:
+            acc = acc - 2.0 * _train_dot(b[i], t)
+        for p, t1 in enumerate(vts):
+            acc = acc + _train_dot(t1, t1)
+            for t2 in vts[p + 1:]:
+                acc = acc + 2.0 * _train_dot(t1, t2)
+        res_sq = res_sq + acc
+    return float(np.sqrt(max(res_sq, 0.0)))
