@@ -55,7 +55,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-DEFAULT_GRID = "3:2,5:2,6:1,8:1"  # dim:seeds pairs
+DEFAULT_GRID = "3:2,5:2,6:1,7:1,8:1"  # dim:seeds pairs
 
 
 def _load_config(dim: int):

@@ -65,7 +65,7 @@ PHASE_B = [
 
 
 def run_one(problem: str, dim: int, seed_idx: int, timeout_s: int,
-            log_path: str) -> dict:
+            log_path: str, out_root: str = "grid_r2") -> dict:
     cfg_path = os.path.join(REPO, "configs", f"{problem}_{dim}.yaml")
     with open(cfg_path) as fh:
         config = dict(yaml.safe_load(fh))
@@ -77,7 +77,7 @@ def run_one(problem: str, dim: int, seed_idx: int, timeout_s: int,
     config["verbose"] = True
 
     name = f"{problem}_{dim}_s{seed_idx}"
-    workdir = os.path.join(REPO, "results", "grid_r2", name)
+    workdir = os.path.join(REPO, "results", out_root, name)
     os.makedirs(workdir, exist_ok=True)
     tmp_cfg = os.path.join(workdir, "config.yaml")
     with open(tmp_cfg, "w") as fh:

@@ -680,21 +680,37 @@ def _ipm_check_for_stalled_progress(prev_errors, status, gap_tol):
     return primal and dual and central
 
 
-def _ipm_check_convergence(status, finishing_steps, ZX, TX, abs_tol, max_refinement):
+def _ipm_check_convergence(status, finishing_steps, ZX, TX, abs_tol,
+                           max_refinement, prev_slack=np.inf,
+                           can_extend=False):
     if not status.is_last_iter:
         return status, finishing_steps
+    slack = abs(ZX) + abs(TX)
     converged = (
-        abs(ZX) + abs(TX) < abs_tol
+        slack < abs_tol
         and status.primal_error < abs_tol
         and status.dual_error < abs_tol
     )
     if converged:
         finishing_steps = 0
     else:
-        finishing_steps -= 1
-        status.boundary_val = 0.001 * (1 - (finishing_steps / max_refinement))
-        if finishing_steps == 1:
-            status.kkt_iterations += 1
+        # Progress-aware countdown: the refinement budget exists to stop a
+        # STALLED finishing phase, not a converging one.  Measured at
+        # maxcut d11 (results/grid_r4/maxcut11_diag.log): the countdown
+        # exhausted at slack 1.09e-2 while the gap was contracting 20x per
+        # iteration — one more step would have converged.  While the
+        # absolute slack still halves per iteration (and the hard max_iter
+        # cap has room, can_extend), hold the countdown at 1 instead of
+        # exhausting it.
+        rapid = np.isfinite(prev_slack) and slack < 0.5 * prev_slack
+        held = finishing_steps == 1 and rapid and can_extend
+        if not held:
+            finishing_steps -= 1
+            if finishing_steps == 1:
+                status.kkt_iterations += 1
+        status.boundary_val = 0.001 * (
+            1 - (max(finishing_steps, 0) / max_refinement)
+        )
     return status, finishing_steps
 
 
@@ -958,8 +974,11 @@ def tt_ipm(
             _ipm_log_iteration(iteration, status, X_tt, Y_tt, Z_tt, T_tt)
 
         status, finishing_steps = _ipm_check_convergence(
-            status, finishing_steps, ZX, TX, abs_tol, max_refinement
+            status, finishing_steps, ZX, TX, abs_tol, max_refinement,
+            prev_slack=prev_errors.get("slack", np.inf),
+            can_extend=iteration < max_iter,
         )
+        prev_errors["slack"] = abs(ZX) + abs(TX)
         if finishing_steps == 0:
             iteration -= 1
             break
