@@ -350,3 +350,34 @@ def test_whole_eigen_program_f32_native():
         config.set_eigen_dtype("f64")
         config.set_dtype(jnp.float64)
     assert abs(s_f32 - s_f64) < 5e-3 * max(abs(s_f64), 1.0)
+
+
+def test_host_engine_matches_jitted_engine():
+    """Engine-split contract (round 4): the numpy host engine and the
+    jitted per-sweep engine implement the SAME fixed-rank AMEn algorithm;
+    both must solve the same KKT system to solver precision."""
+    from ttipm_tpu import config
+    from ttipm_tpu.solvers.fused import tt_block_amen_fused
+
+    rng = np.random.RandomState(5)
+    d = 3
+    lhs, rhs = _make_kkt_system(d, rng)
+
+    assert config.host_algebra()  # default: host engine
+    x_h, _ = tt_block_amen_fused(lhs, rhs, 1e-8, R=12, ineq=False,
+                                 nswp=12, seed=7)
+    config.set_host_algebra(False)
+    try:
+        x_j, _ = tt_block_amen_fused(lhs, rhs, 1e-8, R=12, ineq=False,
+                                     nswp=12, seed=7)
+    finally:
+        config.set_host_algebra(True)
+
+    A = _prep_operator(lhs, d, ineq=False)
+    b = _prep_rhs(rhs, d, ineq=False)
+    rn_h = _fused_residual_norm(A, b, [np.asarray(c) for c in x_h],
+                                ineq=False)
+    rn_j = _fused_residual_norm(A, b, [np.asarray(c) for c in x_j],
+                                ineq=False)
+    assert rn_h / rhs.norm < 1e-6
+    assert rn_j / rhs.norm < 1e-6
