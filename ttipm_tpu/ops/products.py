@@ -32,6 +32,7 @@ from ttipm_tpu.ops.rounding import (
     prune_singular_vals,
     tt_rank_reduce,
 )
+from ttipm_tpu.ops.host_einsum import host_einsum
 from ttipm_tpu.ops.tt import TT, symmetric_powers_of_two, tt_ranks
 
 __all__ = [
@@ -59,7 +60,7 @@ def tt_mat_vec_exact(matrix_tt: TT, vec_tt: TT) -> TT:
         out: TT = []
         for a, x in zip(matrix_tt, vec_tt):
             a, x = np.asarray(a), np.asarray(x)
-            c = np.einsum("rmnR,anB->ramRB", a, x)
+            c = host_einsum("rmnR,anB->ramRB", a, x)
             out.append(
                 c.reshape(
                     a.shape[0] * x.shape[0], a.shape[1],
@@ -87,7 +88,7 @@ def tt_mat_mat_exact(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
         out: TT = []
         for a, b in zip(matrix_tt_1, matrix_tt_2):
             a, b = np.asarray(a), np.asarray(b)
-            c = np.einsum("rmkR,aknB->ramnRB", a, b)
+            c = host_einsum("rmkR,aknB->ramnRB", a, b)
             out.append(
                 c.reshape(
                     a.shape[0] * b.shape[0], a.shape[1], b.shape[2],
@@ -119,7 +120,7 @@ def tt_hadamard_exact(train_tt_1: TT, train_tt_2: TT) -> TT:
         for a, b in zip(train_tt_1, train_tt_2):
             a, b = np.asarray(a), np.asarray(b)
             if a.ndim == 4:
-                c = np.einsum("rmnR,amnB->ramnRB", a, b)
+                c = host_einsum("rmnR,amnB->ramnRB", a, b)
                 out.append(
                     c.reshape(
                         a.shape[0] * b.shape[0], a.shape[1], a.shape[2],
@@ -127,7 +128,7 @@ def tt_hadamard_exact(train_tt_1: TT, train_tt_2: TT) -> TT:
                     )
                 )
             else:
-                c = np.einsum("rnR,anB->ranRB", a, b)
+                c = host_einsum("rnR,anB->ranRB", a, b)
                 out.append(
                     c.reshape(
                         a.shape[0] * b.shape[0], a.shape[1],
@@ -342,7 +343,7 @@ def tt_approx_mat_mat_mul(
     if config.on_host(*A, *D):
         A = [np.asarray(c) for c in A]
         D = [np.asarray(c) for c in D]
-        es = np.einsum
+        es = host_einsum
     else:
         es = jnp.einsum
 
@@ -383,7 +384,7 @@ def tt_approx_mat_vec_mul(
     if config.on_host(*A, *d_vec):
         A = [np.asarray(c) for c in A]
         d_vec = [np.asarray(c) for c in d_vec]
-        es = np.einsum
+        es = host_einsum
     else:
         es = jnp.einsum
 

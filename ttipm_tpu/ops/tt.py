@@ -28,6 +28,7 @@ import numpy as np
 from ttipm_tpu.ops.jacobi import safe_svd
 
 from ttipm_tpu import config
+from ttipm_tpu.ops.host_einsum import host_einsum
 
 __all__ = [
     "E",
@@ -289,9 +290,9 @@ def _tt_inner_prod_impl(train_1_tt: TT, train_2_tt: TT) -> jax.Array:
     acc = jnp.ones((1, 1), dtype=config.dtype())
     for c1, c2 in zip(train_1_tt, train_2_tt):
         if c1.ndim == 4:
-            acc = jnp.einsum("ab,aijc,bijd->cd", acc, c1, c2)
+            acc = jhost_einsum("ab,aijc,bijd->cd", acc, c1, c2)
         else:
-            acc = jnp.einsum("ab,aic,bid->cd", acc, c1, c2)
+            acc = jhost_einsum("ab,aic,bid->cd", acc, c1, c2)
     return acc[0, 0]
 
 
@@ -306,9 +307,9 @@ def tt_inner_prod(train_1_tt: TT, train_2_tt: TT) -> float:
         for c1, c2 in zip(train_1_tt, train_2_tt):
             c1, c2 = np.asarray(c1), np.asarray(c2)
             if c1.ndim == 4:
-                acc = np.einsum("ab,aijc,bijd->cd", acc, c1, c2)
+                acc = host_einsum("ab,aijc,bijd->cd", acc, c1, c2)
             else:
-                acc = np.einsum("ab,aic,bid->cd", acc, c1, c2)
+                acc = host_einsum("ab,aic,bid->cd", acc, c1, c2)
         return float(acc[0, 0])
     return float(_tt_inner_prod_impl(train_1_tt, train_2_tt))
 
@@ -335,9 +336,9 @@ def _tt_entrywise_sum_impl(train_tt: TT) -> jax.Array:
     acc = jnp.ones((1,), dtype=config.dtype())
     for c in train_tt:
         if c.ndim == 4:
-            acc = jnp.einsum("a,aijb->b", acc, c)
+            acc = jhost_einsum("a,aijb->b", acc, c)
         else:
-            acc = jnp.einsum("a,aib->b", acc, c)
+            acc = jhost_einsum("a,aib->b", acc, c)
     return acc.sum()
 
 
@@ -348,9 +349,9 @@ def tt_entrywise_sum(train_tt: TT) -> float:
         for c in train_tt:
             c = np.asarray(c)
             if c.ndim == 4:
-                acc = np.einsum("a,aijb->b", acc, c)
+                acc = host_einsum("a,aijb->b", acc, c)
             else:
-                acc = np.einsum("a,aib->b", acc, c)
+                acc = host_einsum("a,aib->b", acc, c)
         return float(acc.sum())
     return float(_tt_entrywise_sum_impl(train_tt))
 
@@ -363,7 +364,7 @@ def tt_entrywise_sum(train_tt: TT) -> float:
 def _diag_embed_cores(vec_tt: TT) -> TT:
     n = vec_tt[0].shape[1]
     eye = jnp.eye(n, dtype=config.dtype())
-    return [jnp.einsum("ij,rjR->rijR", eye, c) for c in vec_tt]
+    return [jhost_einsum("ij,rjR->rijR", eye, c) for c in vec_tt]
 
 
 def tt_diag(vec_tt: TT, eps: float = 1e-18) -> TT:
@@ -374,7 +375,7 @@ def tt_diag(vec_tt: TT, eps: float = 1e-18) -> TT:
         n = vec_tt[0].shape[1]
         eye = np.eye(n, dtype=config.dtype())
         cores = [
-            np.einsum("ij,rjR->rijR", eye, np.asarray(c)) for c in vec_tt
+            host_einsum("ij,rjR->rijR", eye, np.asarray(c)) for c in vec_tt
         ]
         return tt_rank_reduce(cores, eps)
     return tt_rank_reduce(_diag_embed_cores(vec_tt), eps)
@@ -407,7 +408,7 @@ def _diag_op_cores(matrix_tt: TT) -> TT:
     mn = matrix_tt[0].shape[1] * matrix_tt[0].shape[2]
     eye = jnp.eye(mn, dtype=config.dtype())
     return [
-        jnp.einsum("ij,rjR->rijR", eye, c.reshape(c.shape[0], mn, c.shape[-1]))
+        jhost_einsum("ij,rjR->rijR", eye, c.reshape(c.shape[0], mn, c.shape[-1]))
         for c in matrix_tt
     ]
 
@@ -460,7 +461,7 @@ def tt_reshape(train_tt: TT, shape: Sequence[int]) -> TT:
         if int(np.prod(shape)) > int(np.prod(cores[0].shape[1:-1])):
             if cores[0].ndim == 3:
                 cores = [
-                    np.einsum("kir,rsK->kisK", np.asarray(c1), np.asarray(c2))
+                    host_einsum("kir,rsK->kisK", np.asarray(c1), np.asarray(c2))
                     for c1, c2 in zip(cores[:-1:2], cores[1::2])
                 ]
             else:
@@ -481,11 +482,11 @@ def tt_merge_cores(train_tt: TT) -> TT:
     """Contract adjacent core pairs (2k, 2k+1) into single cores."""
     if train_tt[0].ndim == 3:
         return [
-            jnp.einsum("kir,rsK->kisK", c1, c2)
+            jhost_einsum("kir,rsK->kisK", c1, c2)
             for c1, c2 in zip(train_tt[:-1:2], train_tt[1::2])
         ]
     return [
-        jnp.einsum("kijr,rsdK->kisjdK", c1, c2)
+        jhost_einsum("kijr,rsdK->kisjdK", c1, c2)
         for c1, c2 in zip(train_tt[:-1:2], train_tt[1::2])
     ]
 
@@ -528,7 +529,7 @@ def tt_merge_bonds(vec_tt: TT) -> TT:
 # ---------------------------------------------------------------------------
 
 def _kron_cores(c1: jax.Array, c2: jax.Array) -> jax.Array:
-    out = jnp.einsum("rmnR,lijL->rlminjRL", c1, c2)
+    out = jhost_einsum("rmnR,lijL->rlminjRL", c1, c2)
     return out.reshape(
         c1.shape[0] * c2.shape[0],
         c1.shape[1] * c2.shape[1],
@@ -544,7 +545,7 @@ def tt_kron(matrix_tt_1: TT, matrix_tt_2: TT) -> TT:
 
 
 def _host_kron_cores(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
-    out = np.einsum("rmnR,lijL->rlminjRL", c1, c2)
+    out = host_einsum("rmnR,lijL->rlminjRL", c1, c2)
     return out.reshape(
         c1.shape[0] * c2.shape[0],
         c1.shape[1] * c2.shape[1],

@@ -125,8 +125,10 @@ def tt_block_amen_fused_batch(
 
     preps = []
     for A_blk, b_blk in zip(block_As, block_bs):
-        A = _fused._prep_operator(A_blk, d, ineq)
-        b = _fused._prep_rhs(b_blk, d, ineq)
+        # pad=True: the vmapped device program needs uniform shapes across
+        # instances (the host engine's ragged prep must not leak in here)
+        A = _fused._prep_operator(A_blk, d, ineq, pad=True)
+        b = _fused._prep_rhs(b_blk, d, ineq, pad=True)
         preps.append((A, b))
     shapes0 = jax.tree_util.tree_map(lambda x: x.shape, preps[0])
     for p in preps[1:]:

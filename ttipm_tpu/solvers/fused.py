@@ -917,17 +917,30 @@ def _finalize_cores(cores):
     return [jnp.asarray(c, dtype=config.dtype()) for c in cores]
 
 
-def _prep_operator(block_A, d: int, ineq: bool) -> Dict[str, List[jax.Array]]:
-    """Canonicalize + zero-pad the KKT block operator to one bucketed rank
-    per key (interior bonds), so all interior cores share one shape."""
+def _prep_operator(block_A, d: int, ineq: bool,
+                   pad: bool = None) -> Dict[str, List[jax.Array]]:
+    """Canonicalize the KKT block operator.
+
+    Jitted engine: zero-pad every key to one bucketed rank (interior
+    bonds) so all interior cores share a single compiled shape.  Host
+    engine: KEEP THE RAGGED RANKS — numpy has no shape-stability
+    constraint, and the phi-interface einsums are QUADRATIC in operator
+    rank, so padding a rank profile like [25,80,169,80,25] up to a
+    uniform 172 multiplied the per-sweep cost ~5-10x with zeros
+    (measured round 4: maxcut d6 seed 54, whose AHO Kron lift reaches
+    rank ~169, spent minutes per Newton solve on padded phi updates)."""
     key_map = {"00": (0, 0), "01": (0, 1), "12": (1, 2), "21": (2, 1),
                "22": (2, 2), "31": (3, 1), "33": (3, 3)}
+    # pad=None: pad exactly when the jitted engine will consume the prep
+    # (host engine keeps ragged ranks); pad=True/False forces it — the
+    # batched mesh path needs uniform shapes across instances regardless.
+    host = _use_host_engine() if pad is None else (not pad)
     out = {}
     for sk in _keys(ineq):
         cores = _np_cores(block_A[key_map[sk]])
-        if sk == "12":
-            # the identity block stays exactly rank-1: its projected
-            # diagonal is inverted elementwise in the Schur solve.
+        if host or sk == "12":
+            # "12" (the identity block) stays exactly rank-1 on every
+            # engine: its projected diagonal is inverted elementwise.
             ranks = [c.shape[-1] for c in cores[:-1]]
         else:
             ra = _uniform_key_rank(cores)
@@ -936,8 +949,11 @@ def _prep_operator(block_A, d: int, ineq: bool) -> Dict[str, List[jax.Array]]:
     return out
 
 
-def _prep_rhs(block_b, d: int, ineq: bool) -> List[List[jax.Array]]:
-    """Rows as dense list; absent rows become rank-1 zero trains."""
+def _prep_rhs(block_b, d: int, ineq: bool,
+              pad: bool = None) -> List[List[jax.Array]]:
+    """Rows as dense list; absent rows become rank-1 zero trains.
+    Host engine keeps ragged row ranks (see _prep_operator)."""
+    host = _use_host_engine() if pad is None else (not pad)
     rows = []
     for i in range(_nrows(ineq)):
         row = block_b.get_row(i) if hasattr(block_b, "get_row") else (
@@ -947,8 +963,9 @@ def _prep_rhs(block_b, d: int, ineq: bool) -> List[List[jax.Array]]:
             cores = [np.zeros((1, 4, 1), dtype=np.float64) for _ in range(d)]
         else:
             cores = _np_cores(row)
-            rb = _uniform_key_rank(cores)
-            cores = _pad_train(cores, [rb] * (d - 1))
+            if not host:
+                rb = _uniform_key_rank(cores)
+                cores = _pad_train(cores, [rb] * (d - 1))
         rows.append(_finalize_cores(cores))
     return rows
 

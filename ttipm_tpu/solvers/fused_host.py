@@ -23,11 +23,9 @@ guards, scalings, enrichment ranks); reference algorithm
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Dict, List
 
 import numpy as np
-import opt_einsum
 import scipy.linalg as sla
 
 from ttipm_tpu import config
@@ -35,17 +33,9 @@ from ttipm_tpu import config
 TINY = 1e-300
 
 
-@lru_cache(maxsize=8192)
-def _expr(eq: str, shapes):
-    """Cached opt_einsum contraction plan, keyed on (equation, shapes) —
-    the reference's cached_einsum pattern (src/tt_ops.py:22-28).  Path
-    search costs ~100us per call; the sweeps issue thousands of identical
-    tiny contractions per solve."""
-    return opt_einsum.contract_expression(eq, *shapes)
-
-
-def _es(eq: str, *ops):
-    return _expr(eq, tuple(o.shape for o in ops))(*ops)
+# Shared cached-plan einsum (ops/host_einsum.py — the reference's
+# cached_einsum pattern, src/tt_ops.py:22-28).
+from ttipm_tpu.ops.host_einsum import host_einsum as _es
 
 
 def _keys(ineq: bool):
@@ -158,8 +148,8 @@ def _project_rhs(bl, b, br, ineq: bool):
 # ---------------------------------------------------------------------------
 
 def _chol_solve(L, b):
-    y = sla.solve_triangular(L, b, lower=True)
-    return sla.solve_triangular(L.T, y, lower=False)
+    y = sla.solve_triangular(L, b, lower=True, check_finite=False)
+    return sla.solve_triangular(L.T, y, lower=False, check_finite=False)
 
 
 def _den_clamp(den):
@@ -189,12 +179,18 @@ def _cholesky(S):
 
 
 def _qr_factor(a):
-    return np.linalg.qr(a, mode="reduced")
+    """General square factorization for the Schur systems.  The jitted
+    engine uses Householder QR because TPU XLA has no f64 LU; on the host
+    LAPACK getrf is ~3x cheaper at the same (Tikhonov-regularised)
+    conditioning, and a singular system surfaces as a huge-norm candidate
+    that the magnitude-sanity guard rejects (measured round 4: QR of the
+    m~1024 Schur matrices was 97 of 417 profiled seconds at maxcut d6
+    seed 54)."""
+    return sla.lu_factor(a, check_finite=False)
 
 
-def _qr_apply(qr, b):
-    q, r = qr
-    return sla.solve_triangular(r, q.T @ b, lower=False)
+def _qr_apply(lu, b):
+    return sla.lu_solve(lu, b, check_finite=False)
 
 
 def _dense_factor(pl, A, pr, inv_I, ineq: bool):
