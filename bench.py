@@ -55,7 +55,11 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-DEFAULT_GRID = "3:2,5:2,6:1,7:1,8:1"  # dim:seeds pairs
+# dim:seeds pairs; 3 seeds at d6-8 because the measured reference means
+# at those dims aggregate 5 seeds with large spread (std ~ mean) — a
+# single-seed numerator against a multi-seed reference mean is biased by
+# seed luck in either direction
+DEFAULT_GRID = "3:2,5:2,6:3,7:3,8:3"
 
 
 def _load_config(dim: int):
