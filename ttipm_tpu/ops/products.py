@@ -305,11 +305,16 @@ def _als_product_sweeps(
         # tolerance below the best bounded-rank approximation error is
         # unreachable and the loop would burn all ``nswp`` sweeps making
         # no progress (measured: a refine-path product at operator rank
-        # ~169 cost minutes per call this way).  Two consecutive sweeps
-        # without a 5% residual improvement = converged-at-this-rank.
-        if np.isfinite(prev_res) and max_res > prev_res / 1.05:
+        # ~169 cost minutes per call this way).  Near tol (<=10x) two
+        # sweeps without a 5% improvement = converged-at-this-rank; far
+        # above tol a steadily-but-slowly converging fit (e.g. ~4%/sweep)
+        # must keep going, so the exit there needs three consecutive
+        # sweeps at <2% improvement (a genuine bounded-rank plateau).
+        near_tol = max_res <= 10.0 * tol
+        factor, need = (1.05, 2) if near_tol else (1.02, 3)
+        if np.isfinite(prev_res) and max_res > prev_res / factor:
             stagnant += 1
-            if stagnant >= 2:
+            if stagnant >= need:
                 last = True
         else:
             stagnant = 0

@@ -290,9 +290,9 @@ def _tt_inner_prod_impl(train_1_tt: TT, train_2_tt: TT) -> jax.Array:
     acc = jnp.ones((1, 1), dtype=config.dtype())
     for c1, c2 in zip(train_1_tt, train_2_tt):
         if c1.ndim == 4:
-            acc = jhost_einsum("ab,aijc,bijd->cd", acc, c1, c2)
+            acc = jnp.einsum("ab,aijc,bijd->cd", acc, c1, c2)
         else:
-            acc = jhost_einsum("ab,aic,bid->cd", acc, c1, c2)
+            acc = jnp.einsum("ab,aic,bid->cd", acc, c1, c2)
     return acc[0, 0]
 
 
@@ -336,9 +336,9 @@ def _tt_entrywise_sum_impl(train_tt: TT) -> jax.Array:
     acc = jnp.ones((1,), dtype=config.dtype())
     for c in train_tt:
         if c.ndim == 4:
-            acc = jhost_einsum("a,aijb->b", acc, c)
+            acc = jnp.einsum("a,aijb->b", acc, c)
         else:
-            acc = jhost_einsum("a,aib->b", acc, c)
+            acc = jnp.einsum("a,aib->b", acc, c)
     return acc.sum()
 
 
@@ -364,7 +364,7 @@ def tt_entrywise_sum(train_tt: TT) -> float:
 def _diag_embed_cores(vec_tt: TT) -> TT:
     n = vec_tt[0].shape[1]
     eye = jnp.eye(n, dtype=config.dtype())
-    return [jhost_einsum("ij,rjR->rijR", eye, c) for c in vec_tt]
+    return [jnp.einsum("ij,rjR->rijR", eye, c) for c in vec_tt]
 
 
 def tt_diag(vec_tt: TT, eps: float = 1e-18) -> TT:
@@ -408,7 +408,7 @@ def _diag_op_cores(matrix_tt: TT) -> TT:
     mn = matrix_tt[0].shape[1] * matrix_tt[0].shape[2]
     eye = jnp.eye(mn, dtype=config.dtype())
     return [
-        jhost_einsum("ij,rjR->rijR", eye, c.reshape(c.shape[0], mn, c.shape[-1]))
+        jnp.einsum("ij,rjR->rijR", eye, c.reshape(c.shape[0], mn, c.shape[-1]))
         for c in matrix_tt
     ]
 
@@ -482,11 +482,11 @@ def tt_merge_cores(train_tt: TT) -> TT:
     """Contract adjacent core pairs (2k, 2k+1) into single cores."""
     if train_tt[0].ndim == 3:
         return [
-            jhost_einsum("kir,rsK->kisK", c1, c2)
+            jnp.einsum("kir,rsK->kisK", c1, c2)
             for c1, c2 in zip(train_tt[:-1:2], train_tt[1::2])
         ]
     return [
-        jhost_einsum("kijr,rsdK->kisjdK", c1, c2)
+        jnp.einsum("kijr,rsdK->kisjdK", c1, c2)
         for c1, c2 in zip(train_tt[:-1:2], train_tt[1::2])
     ]
 
@@ -529,7 +529,7 @@ def tt_merge_bonds(vec_tt: TT) -> TT:
 # ---------------------------------------------------------------------------
 
 def _kron_cores(c1: jax.Array, c2: jax.Array) -> jax.Array:
-    out = jhost_einsum("rmnR,lijL->rlminjRL", c1, c2)
+    out = jnp.einsum("rmnR,lijL->rlminjRL", c1, c2)
     return out.reshape(
         c1.shape[0] * c2.shape[0],
         c1.shape[1] * c2.shape[1],

@@ -850,8 +850,9 @@ def _global_residual_sq(A, b, x_shared, x_block, ineq: bool, block_pos: int):
     return res_sq, rhs_sq
 
 
-def _fused_residual_norm(A, b, x_cores, ineq: bool) -> float:
-    if _use_host_engine() and not any(
+def _fused_residual_norm(A, b, x_cores, ineq: bool,
+                         host: bool = None) -> float:
+    if (_use_host_engine() if host is None else host) and not any(
         isinstance(c, jax.core.Tracer) for c in x_cores
     ):
         from ttipm_tpu.solvers import fused_host
@@ -906,13 +907,18 @@ def _use_host_engine() -> bool:
     """numpy sweep engine: on when nothing is offloaded to an accelerator
     and host-algebra mode is active (config.py rationale — the jitted
     engine's per-signature trace/lower/compile overhead dwarfs the actual
-    arithmetic of these microscopic panels on CPU)."""
+    arithmetic of these microscopic panels on CPU).
+
+    The solve drivers resolve this ONCE per solve and thread the result
+    through prep and sweep (``host=`` params below) so a config change
+    mid-solve cannot hand a ragged host prep to the jitted engine or a
+    padded device prep to the numpy engine (round-4 advisor finding)."""
     return (config.offload_device() is None and config.host_algebra()
             and not config.fused_whole_solve())
 
 
-def _finalize_cores(cores):
-    if _use_host_engine():
+def _finalize_cores(cores, host: bool = None):
+    if _use_host_engine() if host is None else host:
         return [np.asarray(c, dtype=np.dtype(config.dtype())) for c in cores]
     return [jnp.asarray(c, dtype=config.dtype()) for c in cores]
 
@@ -945,7 +951,7 @@ def _prep_operator(block_A, d: int, ineq: bool,
         else:
             ra = _uniform_key_rank(cores)
             ranks = [ra] * (d - 1)
-        out[sk] = _finalize_cores(_pad_train(cores, ranks))
+        out[sk] = _finalize_cores(_pad_train(cores, ranks), host)
     return out
 
 
@@ -966,7 +972,7 @@ def _prep_rhs(block_b, d: int, ineq: bool,
             if not host:
                 rb = _uniform_key_rank(cores)
                 cores = _pad_train(cores, [rb] * (d - 1))
-        rows.append(_finalize_cores(cores))
+        rows.append(_finalize_cores(cores, host))
     return rows
 
 
@@ -1032,7 +1038,8 @@ def _x0_direction(x0, d: int, bs: int) -> int:
     return 0
 
 
-def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[jax.Array]:
+def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng,
+             host: bool = None) -> List[jax.Array]:
     """Warm start (or fresh Gaussian) at exact cap ranks with the block
     axis on core 0 (direction -1) or core d-1 (direction +1) — same
     convention as solvers/amen.py::find_block_core."""
@@ -1042,7 +1049,7 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
         if finite:
             try:
                 cores = _np_svd_retract(np_cores, caps)
-                return _finalize_cores(cores)
+                return _finalize_cores(cores, host)
             except np.linalg.LinAlgError:
                 pass  # pathological warm start -> fresh Gaussian below
     if direction > 0:
@@ -1057,10 +1064,11 @@ def _prep_x0(x0, d: int, bs: int, caps: List[int], direction: int, rng) -> List[
         cores = [rng.randn(1, bs, 4, caps[0] if d > 1 else 1)] + tail
     nrm = np.sqrt(sum(float(np.sum(c**2)) for c in cores))
     cores = [c / max(nrm, TINY) ** (1.0 / d) for c in cores]
-    return _finalize_cores(cores)
+    return _finalize_cores(cores, host)
 
 
-def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng) -> List[jax.Array]:
+def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng,
+             host: bool = None) -> List[jax.Array]:
     cores = []
     for k in range(d):
         rl = 1 if k == 0 else kick
@@ -1070,11 +1078,11 @@ def _prep_z0(d: int, bs: int, kick: int, block_pos: int, rng) -> List[jax.Array]
         else:
             c = rng.randn(rl, 4, rr) / (4 * kick**2)
         cores.append(c)
-    return _finalize_cores(cores)
+    return _finalize_cores(cores, host)
 
 
-def _boundary_phis(A, b, ineq: bool):
-    xp = np if _use_host_engine() else jnp
+def _boundary_phis(A, b, ineq: bool, host: bool = None):
+    xp = np if (_use_host_engine() if host is None else host) else jnp
     ones3 = xp.ones((1, 1, 1), dtype=config.dtype())
     ones2 = xp.ones((1, 1), dtype=config.dtype())
     pA = {k: ones3 for k in _keys(ineq)}
@@ -1135,23 +1143,27 @@ def tt_block_amen_fused(
     # (observed: refinement run died with LLVM mmap ENOMEM mid-solve).
     config.maybe_relieve_map_pressure()
 
+    # Resolve the engine once; prep and sweep below all consume this flag
+    # (a mid-solve config change must not split the solve across engines).
     if prepped is not None:
-        A, b = prepped
+        A, b, use_host = prepped
     else:
-        A = _prep_operator(block_A, d, ineq)
-        b = _prep_rhs(block_b, d, ineq)
+        use_host = _use_host_engine()
+        A = _prep_operator(block_A, d, ineq, pad=not use_host)
+        b = _prep_rhs(block_b, d, ineq, pad=not use_host)
     caps_bck = _bond_caps(d, R, bs, +1)
     caps_fwd = _bond_caps(d, R, bs, -1)
     direction = _x0_direction(x0, d, bs) or 1
     # the warm start is laid out as if the *opposite* sweep just finished,
     # so its cap profile is the opposite direction's
     x_cores = _prep_x0(
-        x0, d, bs, caps_fwd if direction > 0 else caps_bck, direction, rng
+        x0, d, bs, caps_fwd if direction > 0 else caps_bck, direction, rng,
+        host=use_host,
     )
     block_pos = 0 if direction < 0 else d - 1
-    z_cores = _prep_z0(d, bs, kick_rank, block_pos, rng)
+    z_cores = _prep_z0(d, bs, kick_rank, block_pos, rng, host=use_host)
 
-    pA0, pz0, pb0 = _boundary_phis(A, b, ineq)
+    pA0, pz0, pb0 = _boundary_phis(A, b, ineq, host=use_host)
     XAX: List = [pA0] + [None] * (d - 1) + [dict(pA0)]
     Xb: List = [pb0] + [None] * (d - 1) + [list(pb0)]
     ZAX: List = [pz0] + [None] * (d - 1) + [dict(pz0)]
@@ -1180,7 +1192,7 @@ def tt_block_amen_fused(
     # Device-resident whole-solve path: one program, one dispatch.  Default
     # on when offloading to a (remote) accelerator, where per-program load
     # cost dominates; selectable everywhere via config.set_fused_whole_solve.
-    if config.fused_whole_solve() and nswp >= 4:
+    if not use_host and config.fused_whole_solve() and nswp >= 4:
         max_pairs = max(0, (nswp - 4) // 2)
         with _trace_ctx():
             (x_cores, z_cores, XAX, Xb, ZAX, Zb, res_d, dx_d) = _dispatch_retry(
@@ -1200,7 +1212,6 @@ def tt_block_amen_fused(
             x_cores = config.offload_fetch(tuple(x_cores))
         return list(x_cores), final_res
 
-    use_host = _use_host_engine()
     if use_host:
         from ttipm_tpu.solvers import fused_host
 
@@ -1286,8 +1297,9 @@ def tt_restarted_block_amen_fused(
     d = len(next(iter(block_b.values())))
     bs = _nrows(ineq)
 
-    A = _prep_operator(block_A, d, ineq)
-    b = _prep_rhs(block_b, d, ineq)
+    use_host = _use_host_engine()
+    A = _prep_operator(block_A, d, ineq, pad=not use_host)
+    b = _prep_rhs(block_b, d, ineq, pad=not use_host)
 
     rhs_norm0 = block_b.norm
     if rhs_norm0 < 0.5 * op_tol:
@@ -1332,7 +1344,7 @@ def tt_restarted_block_amen_fused(
             cast_block_matrix, cast_block_vector, tt_block_train_add,
         )
 
-        rn = _fused_residual_norm(A, b, x_cores, ineq)
+        rn = _fused_residual_norm(A, b, x_cores, ineq, host=use_host)
         if not np.isfinite(rn) or rn <= refine_target:
             return x_cores, min(res, rn / max(rhs_norm0, 1e-300))
         prod_tol = max(0.01 * refine_target, float(config.clamp_eps(eps)))
@@ -1356,7 +1368,8 @@ def tt_restarted_block_amen_fused(
                 e_cores, _ = tt_block_amen_fused(
                     block_A, r_work, termination_tol, R, ineq, eps=eps,
                     nswp=inner_m, kick_rank=2, verbose=False,
-                    prepped=(A, _prep_rhs(r_work, d, ineq)),
+                    prepped=(A, _prep_rhs(r_work, d, ineq,
+                                          pad=not use_host), use_host),
                 )
                 if use_hi:
                     e_cores = [jnp.asarray(c, hi) for c in e_cores]
@@ -1381,11 +1394,11 @@ def tt_restarted_block_amen_fused(
 
     x_cores, res = tt_block_amen_fused(
         block_A, block_b, termination_tol, R, ineq, eps=eps, nswp=inner_m,
-        x0=x0, kick_rank=2, verbose=verbose, prepped=(A, b),
+        x0=x0, kick_rank=2, verbose=verbose, prepped=(A, b, use_host),
     )
     if res < termination_tol:
         return refined(x_cores, res)
-    rn = _fused_residual_norm(A, b, x_cores, ineq)
+    rn = _fused_residual_norm(A, b, x_cores, ineq, host=use_host)
     if accepted(rn):
         return refined(x_cores, res)
 
@@ -1405,9 +1418,10 @@ def tt_restarted_block_amen_fused(
         R = R_next
         x_cores, res = tt_block_amen_fused(
             block_A, block_b, termination_tol, R, ineq, eps=eps, nswp=inner_m,
-            x0=x_cores, kick_rank=4, verbose=verbose, prepped=(A, b),
+            x0=x_cores, kick_rank=4, verbose=verbose,
+            prepped=(A, b, use_host),
         )
-        rn = _fused_residual_norm(A, b, x_cores, ineq)
+        rn = _fused_residual_norm(A, b, x_cores, ineq, host=use_host)
         if accepted(rn):
             return refined(x_cores, res)
 
