@@ -1,7 +1,8 @@
-"""Profile one maxcut solve end-to-end on CPU (cProfile + phase timers).
+"""Profile one solve end-to-end on CPU (cProfile + phase timers).
 
 Usage: python scripts/profile_solve.py [dim] [seed] [--cprofile]
-Writes results/profile_d<dim>.txt with cumulative-time hotspots.
+                                       [--problem maxcut|corr_clust|...]
+Writes results/profile_<problem>_d<dim>.txt with cumulative hotspots.
 """
 import os
 import sys
@@ -29,7 +30,13 @@ sys.path.insert(0, REPO)
 
 def main():
     use_cprofile = "--cprofile" in sys.argv
-    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    problem = "maxcut"
+    argv = sys.argv[1:]
+    if "--problem" in argv:
+        i = argv.index("--problem")
+        problem = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    pos = [a for a in argv if not a.startswith("-")]
     dim = int(pos[0]) if pos else 6
     seed = int(pos[1]) if len(pos) > 1 else None
 
@@ -37,18 +44,27 @@ def main():
 
     ttipm_config.enable_persistent_cache()
 
-    from ttipm_tpu.models.maxcut import create_problem
+    from ttipm_tpu.utils.runner import load_problem
     from ttipm_tpu.ipm import tt_ipm
     from ttipm_tpu.ops.tt import tt_inner_prod, tt_reshape
     import yaml
 
-    with open(os.path.join(REPO, "configs", f"maxcut_{dim}.yaml")) as fh:
+    create_problem = load_problem(problem)
+    with open(os.path.join(REPO, "configs", f"{problem}_{dim}.yaml")) as fh:
         cfg = yaml.safe_load(fh)
     if seed is None:
         seed = int(cfg["seeds"][0])
     np.random.seed(seed)
-    obj_tt, L_tt, bias_tt, lag_y = create_problem(dim, 1)
-    lag_maps = {"y": tt_reshape(lag_y, (4, 4))}
+    prob = create_problem(dim, 1)
+    if len(prob) == 5:
+        obj_tt, L_tt, bias_tt, ineq_mask, lag_maps = prob
+    else:
+        obj_tt, L_tt, bias_tt, lag_y = prob
+        ineq_mask = None
+        lag_maps = {"y": lag_y}
+    lag_maps = {k: tt_reshape(v, (4, 4)) for k, v in lag_maps.items()}
+    obj_tt = tt_reshape(obj_tt, (4,))
+    bias_tt = tt_reshape(bias_tt, (4,))
 
     kw = dict(
         max_iter=int(cfg.get("max_iter", 22)),
@@ -60,6 +76,8 @@ def main():
         mals_restarts=int(cfg.get("mals_restarts", 2)),
         max_refinement=int(cfg.get("max_refinement", 5)),
         lambdaStar=float(cfg.get("lambdaStar", 1.0)),
+        lambdaStarIneq=float(cfg.get("lambdaStarIneq", 1.0)),
+        ineq_mask=ineq_mask,
         verbose=True,
     )
 
@@ -76,7 +94,8 @@ def main():
           f"iters={info['num_iters']}, slack={slack:.2e}")
 
     if use_cprofile:
-        out = os.path.join(REPO, "results", f"profile_d{dim}.txt")
+        out = os.path.join(REPO, "results",
+                           f"profile_{problem}_d{dim}.txt")
         with open(out, "w") as fh:
             st = pstats.Stats(prof, stream=fh)
             st.sort_stats("cumulative").print_stats(60)

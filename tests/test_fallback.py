@@ -40,9 +40,11 @@ def test_ipm_survives_fused_exhaustion(monkeypatch):
         aho_direction=False, mals_restarts=2, max_refinement=3,
         lambdaStar=1.0,
     )
-    # The fused solver was tried exactly once (sticky failure), the ragged
-    # fallback carried every Newton solve, and the IPM still converged.
-    assert calls["fused"] == 1
+    # The fused ladder fails permanently here; the sticky flag may un-stick
+    # while the warm start fits the ladder cap, but the consecutive-failure
+    # bound (3) keeps total fused attempts small, the ragged fallback
+    # carries every Newton solve, and the IPM still converges.
+    assert 1 <= calls["fused"] <= 3
     assert abs(tt_inner_prod(X, Z)) < 1e-3
 
 

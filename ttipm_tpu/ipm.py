@@ -813,7 +813,24 @@ def tt_ipm(
             # src/tt_als.py:306-310): after the fused fixed-rank ladder
             # exhausts once, later Newton solves skip straight to the
             # rank-adaptive ragged sweep instead of re-paying the ladder.
-            state = {"fused_ok": True}
+            # The stickiness exists for systems whose solutions genuinely
+            # exceed the ladder's rank cap (graphm KKTs need rank ~52);
+            # a TRANSIENT failure (a near-singular finishing-phase KKT)
+            # must not condemn every later solve to the ragged restart
+            # loop, so the flag un-sticks whenever the next warm start's
+            # effective ranks fit the ladder cap — with a consecutive-
+            # failure bound so a genuinely hard run cannot ping-pong.
+            state = {"fused_ok": True, "fails": 0}
+
+            def _warm_fits_ladder(x0, restriction):
+                if x0 is None:
+                    return False
+                d = dim
+                r_cap = int(min(restriction, 4 ** ((d + 1) // 2), 32))
+                warm_r = max(
+                    (int(c.shape[-1]) for c in x0[:-1]), default=4
+                )
+                return warm_r <= r_cap
 
             def ragged(lhs, rhs, x0, nwsp, restriction, termination_tol,
                        refine_target=None):
@@ -833,10 +850,16 @@ def tt_ipm(
             def solver(lhs, rhs, x0, nwsp, restriction, termination_tol,
                        refine_target=None):
                 if not state["fused_ok"]:
-                    return ragged(lhs, rhs, x0, nwsp, restriction,
-                                  termination_tol, refine_target)
+                    if state["fails"] < 3 and _warm_fits_ladder(x0, restriction):
+                        state["fused_ok"] = True
+                        if verbose:
+                            print("\t[fused] warm start fits ladder cap -> "
+                                  "retrying fused (un-stick)")
+                    else:
+                        return ragged(lhs, rhs, x0, nwsp, restriction,
+                                      termination_tol, refine_target)
                 try:
-                    return tt_restarted_block_amen_fused(
+                    out = tt_restarted_block_amen_fused(
                         lhs, rhs,
                         rank_restriction=restriction,
                         op_tol=op_tol,
@@ -848,11 +871,14 @@ def tt_ipm(
                         verbose=verbose,
                         refine_target=refine_target,
                     )
+                    state["fails"] = 0
+                    return out
                 except AmenRestartsExhausted:
                     state["fused_ok"] = False
+                    state["fails"] += 1
                     if verbose:
                         print("\t[fused] restarts exhausted -> ragged AMEn"
-                              " (sticky)")
+                              f" (sticky, fail {state['fails']})")
                     return ragged(lhs, rhs, x0, nwsp, restriction,
                                   termination_tol, refine_target)
             return solver

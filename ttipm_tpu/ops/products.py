@@ -412,16 +412,22 @@ def tt_approx_mat_vec_mul(
 # ---------------------------------------------------------------------------
 
 def tt_mat_mat_mul(mat1: TT, mat2: TT, op_tol: float, eps: float,
-                   verbose: bool = False) -> TT:
+                   verbose: bool = False, x0: Optional[TT] = None) -> TT:
     rank_prod = np.array(tt_ranks(mat1)) * np.array(tt_ranks(mat2))
     if rank_prod.size == 0 or rank_prod.max() <= 40:
         return tt_rank_reduce(tt_mat_mat_exact(mat1, mat2), eps=op_tol)
-    return tt_approx_mat_mat_mul(mat1, mat2, tol=op_tol, verbose=verbose)
+    return tt_approx_mat_mat_mul(mat1, mat2, x0=x0, tol=op_tol,
+                                 verbose=verbose)
 
 
 def tt_mat_vec_mul(mat: TT, vec: TT, op_tol: float, eps: float,
-                   verbose: bool = False) -> TT:
+                   verbose: bool = False, x0: Optional[TT] = None) -> TT:
+    """``x0``: warm start for the ALS path only (the exact path ignores
+    it).  The IPM's refine rounds fit the same high-rank product against
+    a slightly-perturbed input every round — warm-starting from the
+    previous round's fit turns a full ALS ramp into 1-2 sweeps."""
     rank_prod = np.array(tt_ranks(mat)) * np.array(tt_ranks(vec))
     if rank_prod.size == 0 or rank_prod.max() <= 80:
         return tt_rank_reduce(tt_mat_vec_exact(mat, vec), op_tol)
-    return tt_approx_mat_vec_mul(mat, vec, tol=op_tol, verbose=verbose)
+    return tt_approx_mat_vec_mul(mat, vec, x0=x0, tol=op_tol,
+                                 verbose=verbose)

@@ -728,8 +728,15 @@ def tt_restarted_block_amen(
             verbose=verbose,
         )
 
+    # ALS product warm-start cache: restarts and refine rounds fit the
+    # same high-rank operator-block products against slightly-perturbed
+    # solutions; warm-starting each fit from the previous round's result
+    # collapses the ALS ramp (round-4 diagnosis: the refine-path product
+    # grind was the largest hard-seed line item, ARCHITECTURE.md).
+    prod_cache: dict = {}
+
     def residual_norm(rhs, x_cores):
-        Ax = block_A.block_product(x_cores, 0.1 * op_tol)
+        Ax = block_A.block_product(x_cores, 0.1 * op_tol, cache=prod_cache)
         return (rhs - Ax).norm
 
     rhs = block_b
@@ -751,7 +758,8 @@ def tt_restarted_block_amen(
         prod_tol = max(0.01 * refine_target, float(_config.clamp_eps(eps)))
         # one tight-tolerance block product per round: the residual train
         # r_blk doubles as both the refinement RHS and the norm source
-        r_blk = rhs - block_A.block_product(x_cores, prod_tol)
+        r_blk = rhs - block_A.block_product(x_cores, prod_tol,
+                                            cache=prod_cache)
         rn = r_blk.norm
         for _ in range(2):
             if not np.isfinite(rn) or rn <= refine_target:
@@ -762,7 +770,8 @@ def tt_restarted_block_amen(
                 x_new = tt_block_train_add(x_cores, e_cores, num_blocks, eps)
             except Exception:
                 break
-            r_new = rhs - block_A.block_product(x_new, prod_tol)
+            r_new = rhs - block_A.block_product(x_new, prod_tol,
+                                                cache=prod_cache)
             rn_new = r_new.norm
             if not np.isfinite(rn_new) or rn_new >= 0.5 * rn:
                 break
@@ -778,7 +787,20 @@ def tt_restarted_block_amen(
     rhs_norm = residual_norm(rhs, x_cores)
     if rhs_norm < termination_tol * orig_rhs_norm or rhs_norm < orig_rhs_norm:
         return refined(x_cores, res)
+    if rhs_norm > 0.9 * orig_rhs_norm:
+        # Basis-limited early break (mirrors fused.py's ladder break): the
+        # first full rank-adaptive solve made <10% residual progress, so
+        # the system is effectively unsolvable in this basis — hard-seed
+        # finishing phases produce near-singular KKTs whose ragged
+        # restarts all stall at the same residual (measured: stuck at
+        # ~1.4 across 3 restarts x nswp sweeps while the IPM's
+        # never-regress guard discarded the result anyway).
+        raise AmenRestartsExhausted(
+            f"basis-limited: first solve stalled at relative error "
+            f"{rhs_norm / orig_rhs_norm:.3e}; skipping restarts"
+        )
 
+    prev_norm = rhs_norm
     for _ in range(1, num_restarts):
         dim = len(x_cores)
         x_cores = tt_rank_retraction(x_cores, [2 * dim] * (dim - 1))
@@ -786,6 +808,9 @@ def tt_restarted_block_amen(
         rhs_norm = residual_norm(rhs, x_cores)
         if rhs_norm < termination_tol * orig_rhs_norm or rhs_norm < orig_rhs_norm:
             return refined(x_cores, res)
+        if rhs_norm > 0.9 * prev_norm:
+            break  # enlarged rank bought <10%: further restarts are waste
+        prev_norm = rhs_norm
 
     raise AmenRestartsExhausted(
         f"restart budget exhausted, relative error {rhs_norm / orig_rhs_norm:.3e}; "

@@ -242,28 +242,38 @@ class TTBlockMatrix:
     def all_keys(self):
         return self._data.keys() | set(self._aliases.values()) | set(self._transposes.values())
 
-    def block_product(self, x_cores: TT, op_tol: float, eps: float = 1e-12) -> TTBlockVector:
+    def block_product(self, x_cores: TT, op_tol: float, eps: float = 1e-12,
+                      cache: dict = None) -> TTBlockVector:
         """Full block operator applied to a block TT solution
-        (src/tt_als.py:132-155)."""
+        (src/tt_als.py:132-155).
+
+        ``cache``: optional mutable dict carried across repeated products
+        against slightly-perturbed inputs (the IPM refine rounds).  Each
+        per-term ALS fit is warm-started from the previous call's fit for
+        the same (block, kind) slot, then the slot is updated in place."""
         from ttipm_tpu.ops.products import tt_mat_vec_mul
 
         result = TTBlockVector()
 
-        def accumulate(row, op, col):
-            term = tt_mat_vec_mul(op, tt_get_block(col, x_cores), op_tol, eps)
+        def accumulate(row, op, col, slot):
+            x0 = None if cache is None else cache.get(slot)
+            term = tt_mat_vec_mul(op, tt_get_block(col, x_cores), op_tol,
+                                  eps, x0=x0)
+            if cache is not None:
+                cache[slot] = term
             if row in result.keys():
                 result[row] = tt_rank_reduce(tt_add(result.get_row(row), term), eps)
             else:
                 result[row] = term
 
         for (i, j), op in self._data.items():
-            accumulate(i, op, j)
+            accumulate(i, op, j, (i, j, "d"))
             if (i, j) in self._transposes:
                 k, t = self._transposes[i, j]
-                accumulate(k, tt_transpose(op), t)
+                accumulate(k, tt_transpose(op), t, (i, j, "t"))
             if (i, j) in self._aliases:
                 k, t = self._aliases[i, j]
-                accumulate(k, op, t)
+                accumulate(k, op, t, (i, j, "a"))
         return result
 
     def get_submatrix(self, row_index: int, col_index: int) -> "TTBlockMatrix":

@@ -1347,6 +1347,7 @@ def tt_restarted_block_amen_fused(
         rn = _fused_residual_norm(A, b, x_cores, ineq, host=use_host)
         if not np.isfinite(rn) or rn <= refine_target:
             return x_cores, min(res, rn / max(rhs_norm0, 1e-300))
+        prod_cache: dict = {}  # ALS warm starts across refine rounds
         prod_tol = max(0.01 * refine_target, float(config.clamp_eps(eps)))
         work_dt = x_cores[0].dtype
         hi = jnp.float64
@@ -1356,7 +1357,7 @@ def tt_restarted_block_amen_fused(
         x_hi = [jnp.asarray(c, hi) for c in x_cores] if use_hi else x_cores
         # one tight-tolerance block product per round (the residual train
         # doubles as refinement RHS and norm source)
-        r_blk = b_hi - A_hi.block_product(x_hi, prod_tol)
+        r_blk = b_hi - A_hi.block_product(x_hi, prod_tol, cache=prod_cache)
         rn = r_blk.norm
         for _ in range(2):
             if not np.isfinite(rn) or rn <= refine_target:
@@ -1376,7 +1377,8 @@ def tt_restarted_block_amen_fused(
                 x_new = tt_block_train_add(x_hi, e_cores, bs, eps)
             except Exception:
                 break
-            r_new = b_hi - A_hi.block_product(x_new, prod_tol)
+            r_new = b_hi - A_hi.block_product(x_new, prod_tol,
+                                              cache=prod_cache)
             rn_new = r_new.norm
             # keep only clear improvements (a solve saturating at its
             # dtype floor or a failed residual solve must not regress x)

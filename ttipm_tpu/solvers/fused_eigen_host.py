@@ -32,12 +32,55 @@ def _asm1(phi_l, A_k, phi_r):
     return t.reshape(m, m)
 
 
-def _smallest_eigpair(M):
+# Dense-vs-Lanczos dispatch: below this window size the full LAPACK eigh
+# is effectively free; above it only ONE eigenpair is wanted and ARPACK
+# k=1 with a warm start is asymptotically cheaper (the window matrices
+# grow as (rl*4*rr)^2 — n=4096 at d=10 — and a full eigh there costs
+# seconds per window).  This mirrors the reference's own dense-eigsh
+# dispatch (src/tt_als.py:963-1018).
+_DENSE_EIG_LIMIT = 192
+
+
+def _smallest_eigpair(M, v0=None):
+    m = M.shape[0]
+    Ms = 0.5 * (M + M.T)
+    if m >= _DENSE_EIG_LIMIT and np.all(np.isfinite(Ms)):
+        try:
+            from scipy.sparse.linalg import eigsh
+
+            kw = dict(k=1, which="SA", maxiter=50 * int(np.sqrt(m)),
+                      tol=1e-10, ncv=min(m - 1, 48))
+            if v0 is not None:
+                v0 = np.asarray(v0, dtype=Ms.dtype).reshape(-1)
+                if v0.shape[0] == m and np.all(np.isfinite(v0)) and \
+                        np.linalg.norm(v0) > 0:
+                    kw["v0"] = v0
+            ev, U = eigsh(Ms, **kw)
+            return float(ev[0]), U[:, 0]
+        except Exception:
+            pass  # ARPACK no-convergence etc. -> dense fallback
     try:
-        ev, U = np.linalg.eigh(0.5 * (M + M.T))
+        ev, U = np.linalg.eigh(Ms)
     except np.linalg.LinAlgError:
         return np.nan, np.full(M.shape[0], np.nan, dtype=M.dtype)
     return ev[0], U[:, 0]
+
+
+def _largest_eigval(W):
+    m = W.shape[0]
+    Ws = 0.5 * (W + W.T)
+    if m >= _DENSE_EIG_LIMIT and np.all(np.isfinite(Ws)):
+        try:
+            from scipy.sparse.linalg import eigsh
+
+            ev = eigsh(Ws, k=1, which="LA", maxiter=50 * int(np.sqrt(m)),
+                       tol=1e-10, ncv=min(m - 1, 48),
+                       return_eigenvectors=False)
+            return float(ev[0])
+        except Exception:
+            pass
+    evg = np.linalg.eigvalsh(Ws)
+    return float(evg[-1])
 
 
 def _shrink_alpha(MA, MD, alpha, tol):
@@ -48,8 +91,8 @@ def _shrink_alpha(MA, MD, alpha, tol):
         )
         W = sla.solve_triangular(L, 0.5 * (MD + MD.T), lower=True)
         W = sla.solve_triangular(L, W.T, lower=True)
-        evg, _ = np.linalg.eigh(0.5 * (W + W.T))
-        lam_max = -evg[0]
+        # reference computes -(smallest eig of W) = largest eig of -W
+        lam_max = _largest_eigval(-W)
     except np.linalg.LinAlgError:
         lam_max = np.nan
     if np.isfinite(lam_max) and lam_max > 0:
@@ -59,7 +102,7 @@ def _shrink_alpha(MA, MD, alpha, tol):
 
 def _pencil_solve(MA, MD, prev_vec, alpha, tol):
     M = MA / alpha + MD
-    lam, x = _smallest_eigpair(M)
+    lam, x = _smallest_eigpair(M, v0=prev_vec)
     if np.isfinite(lam) and lam < 0:
         alpha_new = _shrink_alpha(MA, MD, alpha, tol)
     else:
@@ -179,8 +222,8 @@ def min_window_step(pl, A_k, A_k1, pr, sol1, sol2, r_out: int, bwd: bool):
     prev = _es("rny,ytR->rntR", sol1, sol2)
     shape = prev.shape
     M = _asm2(pl, A_k, A_k1, pr)
-    lam, x = _smallest_eigpair(M)
     prev_vec = prev.reshape(-1)
+    lam, x = _smallest_eigpair(M, v0=prev_vec)
     Mp = M @ prev_vec
     lam_prev = float(np.vdot(prev_vec, Mp))
     old_res = float(np.linalg.norm(lam_prev * prev_vec - Mp))
@@ -198,7 +241,7 @@ def min_last_step(pl, A_k, pr, neighbor, prev, r_out: int, bwd: bool,
                   split: bool):
     shape = prev.shape
     M = _asm1(pl, A_k, pr)
-    lam, x = _smallest_eigpair(M)
+    lam, x = _smallest_eigpair(M, v0=prev.reshape(-1))
     x = x / max(float(np.linalg.norm(x)), TINY)
     if not split:
         return x.reshape(shape), neighbor, pl
