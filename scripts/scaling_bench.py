@@ -60,6 +60,72 @@ def make_instances(n: int, d: int = 3):
     return systems, Xs, Zs
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "pred": 1, "s8": 1, "u8": 1, "c64": 8, "c128": 16}
+
+
+def collective_stats(hlo_text: str) -> dict:
+    """Count collective instructions and their payload bytes in an
+    optimized HLO module (the falsifiable comm-volume proxy for the >=0.8
+    weak-scaling target: ICI traffic per instance must stay flat as the
+    mesh grows; a sharding regression shows up as super-linear bytes)."""
+    import re
+
+    pat = re.compile(
+        r"=\s+(?:\(([^)]*)\)|(\w+)\[([\d,]*)\])\S*\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)\b"
+    )
+    shape_pat = re.compile(r"(\w+)\[([\d,]*)\]")
+    counts: dict = {}
+    total_bytes = 0
+    for m in pat.finditer(hlo_text):
+        kind = m.group(4)
+        counts[kind] = counts.get(kind, 0) + 1
+        shapes = []
+        if m.group(1) is not None:  # tuple-shaped result
+            shapes = shape_pat.findall(m.group(1))
+        elif m.group(2) is not None:
+            shapes = [(m.group(2), m.group(3))]
+        for dt, dims in shapes:
+            n = 1
+            for v in dims.split(","):
+                if v.strip():
+                    n *= int(v)
+            total_bytes += n * _DTYPE_BYTES.get(dt, 8)
+    return {"collective_counts": counts, "collective_bytes": total_bytes}
+
+
+def sweep_collective_stats(mesh, systems, Xs, Zs) -> dict:
+    """Capture the production batched sweep program's args from a real
+    Newton step, recompile it under the mesh shardings, and return the
+    collective stats of the optimized module."""
+    from ttipm_tpu.parallel import fused_mesh as FM
+
+    captured = {}
+    orig = FM._sweep_program_batch
+
+    def capture(*a, **k):
+        if "args" not in captured and k.get("solve"):
+            captured["args"] = (a, dict(k))
+        return orig(*a, **k)
+
+    FM._sweep_program_batch = capture
+    try:
+        tt_newton_step_batch(systems, Xs, Zs, mesh=mesh, R=12, seed=1)
+    finally:
+        FM._sweep_program_batch = orig
+    if "args" not in captured:
+        return {}
+    a, k = captured["args"]
+    try:
+        compiled = orig.lower(*a, **k).compile()
+        txt = compiled.as_text()
+    except Exception as e:  # pragma: no cover - older jaxlib text formats
+        return {"error": str(e)[:120]}
+    return collective_stats(txt)
+
+
 def main() -> None:
     """Weak-scaling evidence by COMPUTE-TIME accounting.
 
@@ -89,8 +155,8 @@ def main() -> None:
             continue
         mesh = make_mesh(n_dev, kkt=1)
         systems, Xs, Zs = make_instances(n_dev, d)
-        # warm (compile)
-        tt_newton_step_batch(systems, Xs, Zs, mesh=mesh, R=12, seed=1)
+        # warm (compile) + capture the sweep program's collective volume
+        comm = sweep_collective_stats(mesh, systems, Xs, Zs)
         ru0 = resource.getrusage(resource.RUSAGE_SELF)
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -108,8 +174,29 @@ def main() -> None:
             "newton_step_cpu_s": round(cpu_s, 3),
             "cpu_s_per_instance": round(cpu_s / n_dev, 3),
             "x_steps": [round(float(v), 4) for v in xs],
+            "sweep_collectives": comm,
+            "comm_bytes_per_instance": (
+                round(comm.get("collective_bytes", 0) / n_dev)
+                if comm else None
+            ),
         })
         print(json.dumps(rows[-1]), flush=True)
+
+    # kkt-sharded variant: bond axes split over a 2-wide 'kkt' axis DO
+    # exchange data — this row makes the comm-volume proxy falsifiable
+    # (seeds-only sharding above is collective-free by construction).
+    kkt_rows = []
+    for n_dev in (2, 8):
+        if n_dev > len(jax.devices()):
+            continue
+        mesh = make_mesh(n_dev, kkt=2)
+        systems, Xs, Zs = make_instances(n_dev // 2, d)
+        comm = sweep_collective_stats(mesh, systems, Xs, Zs)
+        kkt_rows.append({
+            "devices": n_dev, "kkt": 2, "instances": n_dev // 2,
+            "sweep_collectives": comm,
+        })
+        print(json.dumps(kkt_rows[-1]), flush=True)
 
     base = rows[0]["cpu_s_per_instance"]
     ncpu = os.cpu_count() or 1
@@ -123,6 +210,7 @@ def main() -> None:
                        "(wall clock on oversubscribed virtual devices is "
                        "not a scaling signal; see main() docstring)",
         "rows": rows,
+        "kkt_sharded_rows": kkt_rows,
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:

@@ -381,3 +381,45 @@ def test_host_engine_matches_jitted_engine():
                                 ineq=False)
     assert rn_h / rhs.norm < 1e-6
     assert rn_j / rhs.norm < 1e-6
+
+
+def _make_ineq_kkt_system(d, rng):
+    """Synthetic inequality KKT block system: the equality layout plus the
+    (3,1)/(3,3) T-rows and the (1,2)->(1,3) alias (src/tt_ipm.py:469-474)."""
+    lhs, rhs = _make_kkt_system(d, rng)
+    lhs[3, 1] = _random_psd_op(d, rng)
+    lhs[3, 3] = _random_psd_op(d, rng)
+    lhs.add_alias((1, 2), (1, 3))
+    rhs[3] = tt_random_gaussian([2] * (d - 1), (4,))
+    return lhs, rhs
+
+
+def test_host_engine_matches_jitted_engine_ineq():
+    """Round-5 single-source check: after deriving both engines from
+    solvers/fused_algebra.py, the INEQUALITY path (4 block rows, T-row
+    Schur elimination) must also agree between engines."""
+    from ttipm_tpu import config
+    from ttipm_tpu.solvers.fused import tt_block_amen_fused
+
+    rng = np.random.RandomState(9)
+    d = 3
+    lhs, rhs = _make_ineq_kkt_system(d, rng)
+
+    assert config.host_algebra()
+    x_h, _ = tt_block_amen_fused(lhs, rhs, 1e-8, R=16, ineq=True,
+                                 nswp=20, seed=7)
+    config.set_host_algebra(False)
+    try:
+        x_j, _ = tt_block_amen_fused(lhs, rhs, 1e-8, R=16, ineq=True,
+                                     nswp=20, seed=7)
+    finally:
+        config.set_host_algebra(True)
+
+    A = _prep_operator(lhs, d, ineq=True)
+    b = _prep_rhs(rhs, d, ineq=True)
+    rn_h = _fused_residual_norm(A, b, [np.asarray(c) for c in x_h],
+                                ineq=True)
+    rn_j = _fused_residual_norm(A, b, [np.asarray(c) for c in x_j],
+                                ineq=True)
+    assert rn_h / rhs.norm < 1e-5
+    assert rn_j / rhs.norm < 1e-5

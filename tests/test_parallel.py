@@ -172,3 +172,97 @@ def test_newton_step_batch_consistency(mesh8):
             assert all(np.isfinite(np.asarray(c)).all() for c in t)
     assert np.all(xs3 > 0) and np.all(xs3 <= 1.0)
     assert np.all(zs3 > 0) and np.all(zs3 <= 1.0)
+
+
+def test_full_ipm_iteration_mesh_parity(mesh8):
+    """Round-5 multichip evidence (VERDICT r4 item 7): a FULL IPM
+    iteration — real KKT assembly, equilibration, batched predictor-
+    corrector Newton solve, step sizes, PSD-rounded iterate update — runs
+    on the 8-virtual-device mesh and produces the same next iterates as
+    the single-device path (same seeds; only the sharding differs)."""
+    from ttipm_tpu.ipm import (
+        IPMStatus, IneqStatus, _tt_build_row_scaled_kkt,
+        tt_infeasible_newton_system,
+    )
+    from ttipm_tpu.models.maxcut import create_problem
+    from ttipm_tpu.ops.rounding import tt_psd_rank_reduce
+    from ttipm_tpu.ops.tt import (
+        tt_identity, tt_inner_prod, tt_l2_dist, tt_norm, tt_reshape,
+        tt_scale, tt_transpose, tt_add, tt_zero_matrix,
+    )
+    from ttipm_tpu.ops.rounding import tt_rank_reduce
+    from ttipm_tpu.parallel.fused_mesh import tt_newton_step_batch
+    from ttipm_tpu.solvers.blocks import TTBlockMatrix
+
+    d = 3
+    instances = []
+    for seed in (319, 7):
+        np.random.seed(seed)
+        obj_tt, L_tt, bias_tt, lag_y = create_problem(d, 1)
+        obj_tt = tt_reshape(obj_tt, (4,))
+        bias_tt = tt_reshape(bias_tt, (4,))
+        lag_y = tt_reshape(lag_y, (4, 4))
+
+        status = IPMStatus(
+            d, 2 * 3e-4, 3e-4 / np.sqrt(d), 1e-4, 1e-12,
+            False, False, np.inf, False, np.inf, False, np.inf, np.inf,
+            False, IneqStatus.NOT_IN_USE, False, 1, 1, 2 * d,
+        )
+        status.primal_error_normalisation = 1 + tt_norm(bias_tt)
+        status.dual_error_normalisation = 1 + tt_norm(obj_tt)
+
+        lhs = TTBlockMatrix()
+        lhs[1, 2] = tt_reshape(tt_identity(2 * d), (4, 4))
+        lhs[0, 1] = tt_scale(-1, L_tt)
+        lhs.add_alias((0, 1), (1, 0), is_transpose=True)
+        lhs[0, 0] = lag_y
+
+        X = tt_identity(d)
+        Z = tt_identity(d)
+        Y = tt_reshape(tt_zero_matrix(d), (4,))
+        lhs, rhs, status = tt_infeasible_newton_system(
+            lhs, obj_tt, X, Y, Z, None, L_tt, tt_transpose(L_tt),
+            bias_tt, None, status,
+        )
+        lhs_s, rhs_s = _tt_build_row_scaled_kkt(lhs, rhs, status)
+        instances.append((lhs_s, rhs_s, X, Z, status))
+
+    systems = [(i[0], i[1]) for i in instances]
+    Xs = [i[2] for i in instances]
+    Zs = [i[3] for i in instances]
+
+    def advance(xsteps, zsteps, dirs):
+        out = []
+        for i, (dY, dX, dZ) in enumerate(dirs):
+            eta = instances[i][4].eta
+            Xn = tt_psd_rank_reduce(
+                tt_add(Xs[i], tt_scale(float(xsteps[i]), dX)), eps=eta
+            )
+            Zn = tt_psd_rank_reduce(
+                tt_add(Zs[i], tt_scale(float(zsteps[i]), dZ)), eps=eta
+            )
+            out.append((Xn, Zn))
+        return out
+
+    xs_m, zs_m, dirs_m = tt_newton_step_batch(
+        systems, Xs, Zs, mesh=mesh8, R=12, seed=5
+    )
+    next_mesh = advance(xs_m, zs_m, dirs_m)
+
+    xs_1, zs_1, dirs_1 = tt_newton_step_batch(
+        systems, Xs, Zs, mesh=None, R=12, seed=5
+    )
+    next_single = advance(xs_1, zs_1, dirs_1)
+
+    for i in range(len(instances)):
+        # step-size parity
+        assert abs(xs_m[i] - xs_1[i]) < 1e-5 * max(1.0, abs(xs_1[i]))
+        assert abs(zs_m[i] - zs_1[i]) < 1e-5 * max(1.0, abs(zs_1[i]))
+        # iterate parity: mesh vs single-device next iterates
+        for a, b in zip(next_mesh[i], next_single[i]):
+            rel = tt_l2_dist(a, b) / max(tt_norm(b), 1e-12)
+            assert rel < 1e-4, f"instance {i}: iterate divergence {rel:.2e}"
+        # the step must make progress on the duality gap
+        gap0 = abs(tt_inner_prod(Xs[i], Zs[i]))
+        gap1 = abs(tt_inner_prod(*next_mesh[i]))
+        assert gap1 < gap0

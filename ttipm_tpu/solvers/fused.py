@@ -68,100 +68,31 @@ def _nrows(ineq: bool) -> int:
 
 
 # ---------------------------------------------------------------------------
-# In-kernel block algebra (all called inside jit)
+# In-kernel block algebra — single-sourced from solvers/fused_algebra.py
+# (shared with the numpy host engine; jnp backend here, all inside jit)
 # ---------------------------------------------------------------------------
 
-def _apply(p_l, a, p_r, v):
-    return jnp.einsum("lsr,smnS,LSR,rnR->lmL", p_l, a, p_r, v)
+from ttipm_tpu.solvers import fused_algebra as _fa
 
-
-def _apply_T(p_l, a, p_r, v):
-    return jnp.einsum("lsr,smnS,LSR,lmL->rnR", p_l, a, p_r, v)
-
-
-def _proj(p_l, a, p_r):
-    m = p_l.shape[0] * a.shape[1] * p_r.shape[0]
-    return jnp.einsum("lsr,smnS,LSR->lmLrnR", p_l, a, p_r).reshape(m, m)
-
-
-def _local_product(pl, A, pr, x, ineq: bool):
-    """K @ x in the projected basis; x: (rl, bs, n, rr)."""
-    y0 = _apply(pl["00"], A["00"], pr["00"], x[:, 0]) + _apply(
-        pl["01"], A["01"], pr["01"], x[:, 1]
-    )
-    y1 = _apply_T(pl["01"], A["01"], pr["01"], x[:, 0]) + _apply(
-        pl["12"], A["12"], pr["12"], x[:, 2]
-    )
-    y2 = _apply(pl["21"], A["21"], pr["21"], x[:, 1]) + _apply(
-        pl["22"], A["22"], pr["22"], x[:, 2]
-    )
-    if not ineq:
-        return jnp.stack([y0, y1, y2], axis=1)
-    y1 = y1 + _apply(pl["12"], A["12"], pr["12"], x[:, 3])  # alias (1,3)
-    y3 = _apply(pl["31"], A["31"], pr["31"], x[:, 1]) + _apply(
-        pl["33"], A["33"], pr["33"], x[:, 3]
-    )
-    return jnp.stack([y0, y1, y2, y3], axis=1)
-
-
-def _z_product(zl, A, zr, x, ineq: bool):
-    """K @ x projected with z-bases on the left AND right (ZAX phis carry
-    shape (rz, rA, rz) here because both of their x-slots were replaced).
-    Mirrors blocks.py::compressed_block_local_product."""
-    y0 = _apply(zl["00"], A["00"], zr["00"], x[:, 0]) + _apply(
-        zl["01"], A["01"], zr["01"], x[:, 1]
-    )
-    y1 = jnp.einsum(
-        "lsr,snmS,LSR,rnR->lmL", zl["10"], A["01"], zr["10"], x[:, 0]
-    ) + _apply(zl["12"], A["12"], zr["12"], x[:, 2])
-    y2 = _apply(zl["21"], A["21"], zr["21"], x[:, 1]) + _apply(
-        zl["22"], A["22"], zr["22"], x[:, 2]
-    )
-    if not ineq:
-        return jnp.stack([y0, y1, y2], axis=1)
-    y1 = y1 + _apply(zl["12"], A["12"], zr["12"], x[:, 3])
-    y3 = _apply(zl["31"], A["31"], zr["31"], x[:, 1]) + _apply(
-        zl["33"], A["33"], zr["33"], x[:, 3]
-    )
-    return jnp.stack([y0, y1, y2, y3], axis=1)
-
-
-def _mixed_product(ml, mr, A, x, ineq: bool, transpose_right_phi: bool):
-    """K @ x with mixed bases (z on one side, x on the other).  Mirrors
-    blocks.py::l/rcompressed_block_local_product including the reversed
-    index order on the symmetric x-side phi for the transpose row."""
-    y0 = _apply(ml["00"], A["00"], mr["00"], x[:, 0]) + _apply(
-        ml["01"], A["01"], mr["01"], x[:, 1]
-    )
-    if transpose_right_phi:
-        # left z-basis: the (1,0) row reuses the transposed left phi and the
-        # x-symmetric right phi with reversed outer indices (rcompressed).
-        y1_t = jnp.einsum(
-            "rsl,snmS,LSR,rnR->lmL", ml["01"], A["01"], mr["10"], x[:, 0]
-        )
-    else:
-        y1_t = jnp.einsum(
-            "lsr,snmS,RSL,rnR->lmL", ml["10"], A["01"], mr["01"], x[:, 0]
-        )
-    y1 = y1_t + _apply(ml["12"], A["12"], mr["12"], x[:, 2])
-    y2 = _apply(ml["21"], A["21"], mr["21"], x[:, 1]) + _apply(
-        ml["22"], A["22"], mr["22"], x[:, 2]
-    )
-    if not ineq:
-        return jnp.stack([y0, y1, y2], axis=1)
-    y1 = y1 + _apply(ml["12"], A["12"], mr["12"], x[:, 3])
-    y3 = _apply(ml["31"], A["31"], mr["31"], x[:, 1]) + _apply(
-        ml["33"], A["33"], mr["33"], x[:, 3]
-    )
-    return jnp.stack([y0, y1, y2, y3], axis=1)
-
-
-def _project_rhs(bl, b, br, ineq: bool):
-    cols = [
-        jnp.einsum("br,bmB,BR->rmR", bl[i], b[i], br[i])
-        for i in range(_nrows(ineq))
-    ]
-    return jnp.stack(cols, axis=1)
+_ALG = _fa.make_algebra(jnp.einsum, jnp, _keys, _nrows)
+_apply = _ALG.apply
+_apply_T = _ALG.apply_T
+_proj = _ALG.proj
+_local_product = _ALG.local_product
+_z_product = _ALG.z_product
+_mixed_product = _ALG.mixed_product
+_project_rhs = _ALG.project_rhs
+_den_clamp = _ALG.den_clamp
+_tikhonov = _ALG.tikhonov
+_column_scales = _ALG.column_scales
+_unit_fro = _ALG.unit_fro
+_phi_bck_A = _ALG.phi_bck_A
+_phi_fwd_A = _ALG.phi_fwd_A
+_phi_bck_rhs = _ALG.phi_bck_rhs
+_phi_fwd_rhs = _ALG.phi_fwd_rhs
+_phis_bck = _ALG.phis_bck
+_phis_fwd = _ALG.phis_fwd
+_virtual_term_cores = _ALG.virtual_term_cores
 
 
 def _chol_solve(L, b):
@@ -169,34 +100,6 @@ def _chol_solve(L, b):
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
-def _den_clamp(den):
-    """Sign-preserving floor for the projected-identity diagonal used in
-    the dZ elimination (1/den): a dead basis direction makes den cross 0
-    at f32 noise level and 1/den overflows.  Floor |den| at a relative
-    threshold above the dtype's noise."""
-    rel = 1e-6 if den.dtype == jnp.float32 else 1e-14
-    floor = rel * jnp.max(jnp.abs(den))
-    sign = jnp.where(den >= 0, 1.0, -1.0).astype(den.dtype)
-    return sign * jnp.maximum(jnp.abs(den), floor)
-
-
-def _tikhonov(S):
-    """Dtype-aware Tikhonov term for the (near-singular) Schur systems.
-
-    The reference adds an absolute 1e-11*I in f64 (src/tt_ipm.py:207),
-    which dominates f64 roundoff of S and bounds the null-space component
-    of the solve.  In f32 the entries of S carry noise ~eps32*|S| >> 1e-11,
-    so the absolute term is a no-op: a basis-null direction of S yields a
-    ~1e23-magnitude solution with a SMALL residual (the never-regress
-    guard accepts it) and the phi products overflow two sweeps later
-    (localised 2026-08-19, maxcut d3 iteration 0).  The f32 term must sit
-    above the data noise: 1e-6 * max|S|."""
-    m = S.shape[0]
-    if S.dtype == jnp.float64:
-        lam = 1e-11
-    else:
-        lam = 1e-6 * jnp.max(jnp.abs(S)) + 1e-11
-    return S + lam * jnp.eye(m, dtype=S.dtype)
 
 
 def _dense_factor(pl, A, pr, inv_I, ineq: bool):
@@ -353,268 +256,27 @@ def _solve_local(pl, A, pr, bl, b, br, prev, ineq: bool):
     return sol, rhs, res_old, res_min, dx
 
 
-def _column_scales(core):
-    """Per-block-column equilibration norms with a dtype-aware floor.
+_STEPS = _fa.make_sweep_steps(
+    _ALG, jnp.einsum, jnp, lambda *a: _solve_local(*a),
+    lambda m: fast_split_svd(m, full_matrices=False), qr_reduced,
+    lambda x: x, lambda ref: jnp.zeros((), dtype=ref.dtype),
+)
+_trunc_svd = _STEPS.trunc_svd
 
-    The reference floors at absolute 1e-10 (src/tt_als.py:321), calibrated
-    for f64: SVD noise on a zero column is ~1e-16*sigma, so noise/floor
-    decays.  In f32 the noise is ~1e-7*sigma — dividing by 1e-10 amplifies
-    a dead block column ~1e3x PER SWEEP, and the x/z phi products overflow
-    to inf within three sweeps (localised 2026-08-19).  A relative floor
-    of 1e-5*max-column-norm keeps the amplification below the SVD noise
-    growth rate in f32; in f64 the reference's absolute floor dominates."""
-    norms = jnp.sqrt(jnp.sum(core**2, axis=(0, 2, 3)))
-    rel = 1e-5 if core.dtype == jnp.float32 else 1e-12
-    floor = jnp.maximum(rel * jnp.max(norms), 1e-10)
-    return jnp.maximum(norms, floor).reshape(1, -1, 1, 1)
-
-
-def _unit_fro(core):
-    """Rescale to unit Frobenius norm.  The z (AMEn enrichment) train is a
-    projection/direction basis only — its overall scale is mathematically
-    irrelevant — but the reference's ``z_neighbor / scales`` update
-    (src/tt_als.py:382,509) amplifies it by up to 1e10 per sweep through
-    the 1e-10 column-norm floor.  f64 absorbs the transient; in f32 the
-    ZAX phi products overflow to inf within three sweeps (localised
-    2026-08-19: phis hit 8e17..inf, then NaN).  Normalising the z cores
-    keeps every projection finite without changing any direction."""
-    nrm = jnp.sqrt(jnp.sum(core * core))
-    return core / jnp.maximum(nrm, TINY)
-
-
-def _phi_bck_A(phi_next, cl, a, cr):
-    return jnp.einsum("LSR,lML,sMNS,rNR->lsr", phi_next, cl, a, cr)
-
-
-def _phi_fwd_A(phi_prev, cl, a, cr):
-    return jnp.einsum("lsr,lML,sMNS,rNR->LSR", phi_prev, cl, a, cr)
-
-
-def _phi_bck_rhs(phi_next, cb, c):
-    return jnp.einsum("BR,bnB,rnR->br", phi_next, cb, c)
-
-
-def _phi_fwd_rhs(phi_prev, cb, c):
-    return jnp.einsum("br,bnB,rnR->BR", phi_prev, cb, c)
-
-
-def _phis_bck(A, b, x_core, z_core, pr, br, zr, zbr, ineq: bool):
-    """All right-to-left interface updates after core k is re-split."""
-    pl_new = {k: _phi_bck_A(pr[k], x_core, A[k], x_core) for k in _keys(ineq)}
-    bl_new = [
-        _phi_bck_rhs(br[i], b[i], x_core) for i in range(_nrows(ineq))
-    ]
-    zl_new = None
-    zbl_new = None
-    if z_core is not None:
-        zl_new = {
-            k: _phi_bck_A(zr[k], z_core, A[k], x_core) for k in _keys(ineq)
-        }
-        zl_new["10"] = _phi_bck_A(
-            zr["10"], z_core, jnp.swapaxes(A["01"], 1, 2), x_core
-        )
-        zbl_new = [
-            _phi_bck_rhs(zbr[i], b[i], z_core) for i in range(_nrows(ineq))
-        ]
-    return pl_new, bl_new, zl_new, zbl_new
-
-
-def _phis_fwd(A, b, x_core, z_core, pl, bl, zl, zbl, ineq: bool):
-    pr_new = {k: _phi_fwd_A(pl[k], x_core, A[k], x_core) for k in _keys(ineq)}
-    br_new = [
-        _phi_fwd_rhs(bl[i], b[i], x_core) for i in range(_nrows(ineq))
-    ]
-    zr_new = None
-    zbr_new = None
-    if z_core is not None:
-        zr_new = {
-            k: _phi_fwd_A(zl[k], z_core, A[k], x_core) for k in _keys(ineq)
-        }
-        zr_new["10"] = _phi_fwd_A(
-            zl["10"], z_core, jnp.swapaxes(A["01"], 1, 2), x_core
-        )
-        zbr_new = [
-            _phi_fwd_rhs(zbl[i], b[i], z_core) for i in range(_nrows(ineq))
-        ]
-    return pr_new, br_new, zr_new, zbr_new
-
-
-def _trunc_svd(mat, k: int):
-    u, s, vt = fast_split_svd(mat, full_matrices=False)
-    return u[:, :k], (s[:k, None] * vt[:k])
-
-
-# ---------------------------------------------------------------------------
-# Fused per-core sweep steps (jitted; shapes static per position class)
-# ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("ineq", "r_out", "kick", "solve"))
-def _bck_split_step(
-    pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_km1, z_k, z_km1,
-    ineq: bool, r_out: int, kick: int, solve: bool,
-):
-    """Backward-sweep step at core k>0: (solve), re-split the bond to rank
-    ``r_out`` with ``kick`` projected-residual enrichment directions, merge
-    the non-orthogonal factor left, update all bck interfaces."""
-    rl, bs, n, rr = x_k.shape
-    rz = z_k.shape[0]
-    rz1 = z_k.shape[-1]
-    r_out = min(r_out, n * rr, rl * bs)  # static clamp to the SVD width
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-    else:
-        sol = x_k
-        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
-
-    scales = _column_scales(sol)
-    mat = jnp.reshape(scales * sol, (rl * bs, n * rr)).T  # (n*rr, rl*bs)
-    u, s, vt = fast_split_svd(mat, full_matrices=False)
-    v = s[:, None] * vt
-
-    # AMEn enrichment GROWS the basis by up to ``kick`` projected-residual
-    # directions (src/tt_als.py:349-361); the bond rank oscillates between
-    # r_out and r_out+kick across sweeps, clamped at the structural width.
-    width = min(r_out + kick, n * rr, rl * bs) if solve else r_out
-    if solve and width > r_out:
-        sol_trunc = jnp.reshape((u[:, :r_out] @ v[:r_out]).T, (rl, bs, n, rr))
-        Axz = _mixed_product(zl, pr, A, sol_trunc, ineq,
-                             transpose_right_phi=False)
-        rhsxz = _project_rhs(zbl, b, br, ineq)
-        resxz = jnp.reshape(rhsxz - Axz, (rz * bs, n * rr)).T
-        uz, _ = _trunc_svd(resxz, width - r_out)
-        u_aug = jnp.concatenate([u[:, :r_out], uz], axis=1)  # (n*rr, width)
-        q, Rf = qr_reduced(u_aug)
-        u_core = q.T.reshape(width, n, rr)
-        v_new = (Rf[:, :r_out] @ v[:r_out]).T.reshape(rl, bs, width)
-    else:
-        u_core = u[:, :width].T.reshape(width, n, rr)
-        v_new = v[:width].T.reshape(rl, bs, width)
-
-    x_km1_new = jnp.einsum("rdc,cbR->rbdR", x_km1, v_new) / scales
-
-    # z-train update from the (z,z)-projected residual (src/tt_als.py:160-181);
-    # on no-solve sweeps the z interfaces are not built yet and the raw
-    # z-core is re-split instead (src/tt_als.py:180-181).
-    if solve:
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        resz = jnp.reshape(rhsz - Az, (rz * bs, n * rz1)).T
-    else:
-        resz = jnp.reshape(z_k, (rz * bs, n * rz1)).T
-    uzz, vzz = _trunc_svd(resz, kick)
-    z_core = uzz.T.reshape(kick, n, rz1)
-    vz_new = vzz.T.reshape(rz, bs, kick)
-    z_km1_new = _unit_fro(jnp.einsum("rdc,cbR->rbdR", z_km1, vz_new) / scales)
-
-    pl_new, bl_new, zl_new, zbl_new = _phis_bck(
-        A, b, u_core, z_core, pr, br, zr, zbr, ineq
-    )
-    return (u_core, x_km1_new, z_core, z_km1_new, pl_new, bl_new, zl_new,
-            zbl_new, res_old, res_min, dx)
-
-
-@partial(jax.jit, static_argnames=("ineq", "solve"))
-def _bck_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
-                    ineq: bool, solve: bool):
-    """Backward-sweep step at core 0: (solve and) write, no split."""
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
-    else:
-        sol = x_k
-        z_new = z_k
-        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
-    return sol, z_new, res_old, res_min, dx
-
-
-@partial(jax.jit, static_argnames=("ineq", "r_out", "kick", "solve"))
-def _fwd_split_step(
-    pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_kp1, z_k, z_kp1,
-    ineq: bool, r_out: int, kick: int, solve: bool,
-):
-    """Forward-sweep step at core k<d-1 (src/tt_als.py:397-522)."""
-    rl, bs, n, rr = x_k.shape
-    rz = z_k.shape[0]
-    rz1 = z_k.shape[-1]
-    r_out = min(r_out, rl * n, bs * rr)  # static clamp to the SVD width
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-    else:
-        sol = x_k
-        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
-
-    scales = _column_scales(sol)
-    mat = jnp.transpose(scales * sol, (0, 2, 1, 3)).reshape(rl * n, bs * rr)
-    u, s, vt = fast_split_svd(mat, full_matrices=False)
-    v = s[:, None] * vt
-    u3 = u.reshape(rl, n, -1)
-
-    width = min(r_out + kick, rl * n, bs * rr) if solve else r_out
-    if solve and width > r_out:
-        sol_trunc = jnp.einsum(
-            "rbR,RdK->rdbK", u3[:, :, :r_out],
-            v[:r_out].reshape(r_out, bs, rr),
-        )
-        Axz = _mixed_product(pl, zr, A, sol_trunc, ineq,
-                             transpose_right_phi=True)
-        rhsxz = _project_rhs(bl, b, zbr, ineq)
-        resxz = jnp.transpose(rhsxz - Axz, (0, 2, 1, 3)).reshape(
-            rl * n, bs * rz1
-        )
-        uz, _ = _trunc_svd(resxz, width - r_out)
-        u_aug = jnp.concatenate([u3.reshape(rl * n, -1)[:, :r_out], uz], axis=1)
-        q, Rf = qr_reduced(u_aug)
-        u_core = q.reshape(rl, n, width)
-        v_new = jnp.einsum(
-            "rR,RdK->rdK", Rf[:, :r_out], v[:r_out].reshape(r_out, bs, rr)
-        )
-    else:
-        u_core = u3[:, :, :width]
-        v_new = v[:width].reshape(width, bs, rr)
-
-    x_kp1_new = jnp.einsum("rbR,RdK->rbdK", v_new, x_kp1) / scales
-
-    if solve:
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        resz = jnp.transpose(rhsz - Az, (0, 2, 1, 3)).reshape(rz * n, bs * rz1)
-    else:
-        resz = jnp.transpose(z_k, (0, 2, 1, 3)).reshape(rz * n, bs * rz1)
-    uzz, vzz = _trunc_svd(resz, kick)
-    z_core = uzz.reshape(rz, n, kick)
-    vz_new = vzz.reshape(kick, bs, rz1)
-    z_kp1_new = _unit_fro(jnp.einsum("rbR,RdK->rbdK", vz_new, z_kp1) / scales)
-
-    pr_new, br_new, zr_new, zbr_new = _phis_fwd(
-        A, b, u_core, z_core, pl, bl, zl, zbl, ineq
-    )
-    return (u_core, x_kp1_new, z_core, z_kp1_new, pr_new, br_new, zr_new,
-            zbr_new, res_old, res_min, dx)
-
-
-@partial(jax.jit, static_argnames=("ineq", "solve"))
-def _fwd_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
-                    ineq: bool, solve: bool):
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
-    else:
-        sol = x_k
-        z_new = z_k
-        res_old = res_min = dx = jnp.zeros((), dtype=x_k.dtype)
-    return sol, z_new, res_old, res_min, dx
+# Per-core sweep steps (single-sourced; jitted here with static shape/
+# flag args — shapes are static per position class).
+_bck_split_step = partial(
+    jax.jit, static_argnames=("ineq", "r_out", "kick", "solve")
+)(_STEPS.bck_split_step)
+_bck_write_step = partial(
+    jax.jit, static_argnames=("ineq", "solve")
+)(_STEPS.bck_write_step)
+_fwd_split_step = partial(
+    jax.jit, static_argnames=("ineq", "r_out", "kick", "solve")
+)(_STEPS.fwd_split_step)
+_fwd_write_step = partial(
+    jax.jit, static_argnames=("ineq", "solve")
+)(_STEPS.fwd_write_step)
 
 
 # ---------------------------------------------------------------------------
@@ -783,28 +445,8 @@ def _solve_program(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb, term_tol, eps,
 # (src/tt_als.py:806-808), which profiling showed cost as much as the solve.
 # ---------------------------------------------------------------------------
 
-_ROW_TERMS_EQ = (
-    (("00", 0, False), ("01", 1, False)),
-    (("01", 0, True), ("12", 2, False)),
-    (("21", 1, False), ("22", 2, False)),
-)
-_ROW_TERMS_INEQ = (
-    (("00", 0, False), ("01", 1, False)),
-    (("01", 0, True), ("12", 2, False), ("12", 3, False)),
-    (("21", 1, False), ("22", 2, False)),
-    (("31", 1, False), ("33", 3, False)),
-)
-
-
-def _virtual_term_cores(A, x_cols, key: str, col: int, transpose: bool):
-    """Cores of the vec train A_key @ x_col, bond = (rA*rx)."""
-    out = []
-    for a_c, x_c in zip(A[key], x_cols[col]):
-        eq = "snmS,xnX->sxmSX" if transpose else "smnS,xnX->sxmSX"
-        v = jnp.einsum(eq, a_c, x_c)
-        s, x, m, S, X = v.shape
-        out.append(v.reshape(s * x, m, S * X))
-    return out
+_ROW_TERMS_EQ = _fa.ROW_TERMS_EQ
+_ROW_TERMS_INEQ = _fa.ROW_TERMS_INEQ
 
 
 def _train_dot(tr1, tr2):

@@ -56,116 +56,34 @@ def _svd(mat: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# Block algebra (numpy twins of fused.py:74-165)
+# Block algebra — single-sourced from solvers/fused_algebra.py (shared
+# with the jitted device engine; cached-plan numpy einsum backend here)
 # ---------------------------------------------------------------------------
 
-def _apply(p_l, a, p_r, v):
-    return _es("lsr,smnS,LSR,rnR->lmL", p_l, a, p_r, v)
+from ttipm_tpu.solvers import fused_algebra as _fa
 
+_ALG = _fa.make_algebra(_es, np, _keys, _nrows)
+_apply = _ALG.apply
+_apply_T = _ALG.apply_T
+_proj = _ALG.proj
+_local_product = _ALG.local_product
+_z_product = _ALG.z_product
+_mixed_product = _ALG.mixed_product
+_project_rhs = _ALG.project_rhs
+_den_clamp = _ALG.den_clamp
+_tikhonov = _ALG.tikhonov
+_column_scales = _ALG.column_scales
+_unit_fro = _ALG.unit_fro
+_phis_bck = _ALG.phis_bck
+_phis_fwd = _ALG.phis_fwd
+_virtual_term_cores = _ALG.virtual_term_cores
 
-def _apply_T(p_l, a, p_r, v):
-    return _es("lsr,smnS,LSR,lmL->rnR", p_l, a, p_r, v)
-
-
-def _proj(p_l, a, p_r):
-    m = p_l.shape[0] * a.shape[1] * p_r.shape[0]
-    return _es("lsr,smnS,LSR->lmLrnR", p_l, a, p_r).reshape(m, m)
-
-
-def _local_product(pl, A, pr, x, ineq: bool):
-    y0 = _apply(pl["00"], A["00"], pr["00"], x[:, 0]) + _apply(
-        pl["01"], A["01"], pr["01"], x[:, 1]
-    )
-    y1 = _apply_T(pl["01"], A["01"], pr["01"], x[:, 0]) + _apply(
-        pl["12"], A["12"], pr["12"], x[:, 2]
-    )
-    y2 = _apply(pl["21"], A["21"], pr["21"], x[:, 1]) + _apply(
-        pl["22"], A["22"], pr["22"], x[:, 2]
-    )
-    if not ineq:
-        return np.stack([y0, y1, y2], axis=1)
-    y1 = y1 + _apply(pl["12"], A["12"], pr["12"], x[:, 3])
-    y3 = _apply(pl["31"], A["31"], pr["31"], x[:, 1]) + _apply(
-        pl["33"], A["33"], pr["33"], x[:, 3]
-    )
-    return np.stack([y0, y1, y2, y3], axis=1)
-
-
-def _z_product(zl, A, zr, x, ineq: bool):
-    y0 = _apply(zl["00"], A["00"], zr["00"], x[:, 0]) + _apply(
-        zl["01"], A["01"], zr["01"], x[:, 1]
-    )
-    y1 = _es(
-        "lsr,snmS,LSR,rnR->lmL", zl["10"], A["01"], zr["10"], x[:, 0]
-    ) + _apply(zl["12"], A["12"], zr["12"], x[:, 2])
-    y2 = _apply(zl["21"], A["21"], zr["21"], x[:, 1]) + _apply(
-        zl["22"], A["22"], zr["22"], x[:, 2]
-    )
-    if not ineq:
-        return np.stack([y0, y1, y2], axis=1)
-    y1 = y1 + _apply(zl["12"], A["12"], zr["12"], x[:, 3])
-    y3 = _apply(zl["31"], A["31"], zr["31"], x[:, 1]) + _apply(
-        zl["33"], A["33"], zr["33"], x[:, 3]
-    )
-    return np.stack([y0, y1, y2, y3], axis=1)
-
-
-def _mixed_product(ml, mr, A, x, ineq: bool, transpose_right_phi: bool):
-    y0 = _apply(ml["00"], A["00"], mr["00"], x[:, 0]) + _apply(
-        ml["01"], A["01"], mr["01"], x[:, 1]
-    )
-    if transpose_right_phi:
-        y1_t = _es(
-            "rsl,snmS,LSR,rnR->lmL", ml["01"], A["01"], mr["10"], x[:, 0]
-        )
-    else:
-        y1_t = _es(
-            "lsr,snmS,RSL,rnR->lmL", ml["10"], A["01"], mr["01"], x[:, 0]
-        )
-    y1 = y1_t + _apply(ml["12"], A["12"], mr["12"], x[:, 2])
-    y2 = _apply(ml["21"], A["21"], mr["21"], x[:, 1]) + _apply(
-        ml["22"], A["22"], mr["22"], x[:, 2]
-    )
-    if not ineq:
-        return np.stack([y0, y1, y2], axis=1)
-    y1 = y1 + _apply(ml["12"], A["12"], mr["12"], x[:, 3])
-    y3 = _apply(ml["31"], A["31"], mr["31"], x[:, 1]) + _apply(
-        ml["33"], A["33"], mr["33"], x[:, 3]
-    )
-    return np.stack([y0, y1, y2, y3], axis=1)
-
-
-def _project_rhs(bl, b, br, ineq: bool):
-    cols = [
-        _es("br,bmB,BR->rmR", bl[i], b[i], br[i])
-        for i in range(_nrows(ineq))
-    ]
-    return np.stack(cols, axis=1)
-
-
-# ---------------------------------------------------------------------------
-# Dense Schur local solve (numpy twins of fused.py:167-353)
-# ---------------------------------------------------------------------------
 
 def _chol_solve(L, b):
     y = sla.solve_triangular(L, b, lower=True, check_finite=False)
     return sla.solve_triangular(L.T, y, lower=False, check_finite=False)
 
 
-def _den_clamp(den):
-    rel = 1e-6 if den.dtype == np.float32 else 1e-14
-    floor = rel * np.max(np.abs(den))
-    sign = np.where(den >= 0, 1.0, -1.0).astype(den.dtype)
-    return sign * np.maximum(np.abs(den), floor)
-
-
-def _tikhonov(S):
-    m = S.shape[0]
-    if S.dtype == np.float64:
-        lam = 1e-11
-    else:
-        lam = 1e-6 * np.max(np.abs(S)) + 1e-11
-    return S + lam * np.eye(m, dtype=S.dtype)
 
 
 def _cholesky(S):
@@ -323,229 +241,16 @@ def _solve_local(pl, A, pr, bl, b, br, prev, ineq: bool):
     return sol, rhs, res_old, res_min, dx
 
 
-def _column_scales(core):
-    norms = np.sqrt(np.sum(core**2, axis=(0, 2, 3)))
-    rel = 1e-5 if core.dtype == np.float32 else 1e-12
-    floor = max(rel * float(np.max(norms)), 1e-10)
-    return np.maximum(norms, floor).reshape(1, -1, 1, 1)
-
-
-def _unit_fro(core):
-    nrm = np.sqrt(np.sum(core * core))
-    return core / max(float(nrm), TINY)
-
-
-def _phi_bck_A(phi_next, cl, a, cr):
-    return _es("LSR,lML,sMNS,rNR->lsr", phi_next, cl, a, cr)
-
-
-def _phi_fwd_A(phi_prev, cl, a, cr):
-    return _es("lsr,lML,sMNS,rNR->LSR", phi_prev, cl, a, cr)
-
-
-def _phi_bck_rhs(phi_next, cb, c):
-    return _es("BR,bnB,rnR->br", phi_next, cb, c)
-
-
-def _phi_fwd_rhs(phi_prev, cb, c):
-    return _es("br,bnB,rnR->BR", phi_prev, cb, c)
-
-
-def _phis_bck(A, b, x_core, z_core, pr, br, zr, zbr, ineq: bool):
-    pl_new = {k: _phi_bck_A(pr[k], x_core, A[k], x_core) for k in _keys(ineq)}
-    bl_new = [
-        _phi_bck_rhs(br[i], b[i], x_core) for i in range(_nrows(ineq))
-    ]
-    zl_new = {
-        k: _phi_bck_A(zr[k], z_core, A[k], x_core) for k in _keys(ineq)
-    }
-    zl_new["10"] = _phi_bck_A(
-        zr["10"], z_core, np.swapaxes(A["01"], 1, 2), x_core
-    )
-    zbl_new = [
-        _phi_bck_rhs(zbr[i], b[i], z_core) for i in range(_nrows(ineq))
-    ]
-    return pl_new, bl_new, zl_new, zbl_new
-
-
-def _phis_fwd(A, b, x_core, z_core, pl, bl, zl, zbl, ineq: bool):
-    pr_new = {k: _phi_fwd_A(pl[k], x_core, A[k], x_core) for k in _keys(ineq)}
-    br_new = [
-        _phi_fwd_rhs(bl[i], b[i], x_core) for i in range(_nrows(ineq))
-    ]
-    zr_new = {
-        k: _phi_fwd_A(zl[k], z_core, A[k], x_core) for k in _keys(ineq)
-    }
-    zr_new["10"] = _phi_fwd_A(
-        zl["10"], z_core, np.swapaxes(A["01"], 1, 2), x_core
-    )
-    zbr_new = [
-        _phi_fwd_rhs(zbl[i], b[i], z_core) for i in range(_nrows(ineq))
-    ]
-    return pr_new, br_new, zr_new, zbr_new
-
-
-def _trunc_svd(mat, k: int):
-    u, s, vt = _svd(mat)
-    return u[:, :k], (s[:k, None] * vt[:k])
-
-
-# ---------------------------------------------------------------------------
-# Sweep steps (numpy twins of fused.py:451-617)
-# ---------------------------------------------------------------------------
-
-def _bck_split_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_km1,
-                    z_k, z_km1, ineq, r_out, kick, solve):
-    rl, bs, n, rr = x_k.shape
-    rz = z_k.shape[0]
-    rz1 = z_k.shape[-1]
-    r_out = min(r_out, n * rr, rl * bs)
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-    else:
-        sol = x_k
-        res_old = res_min = dx = 0.0
-
-    scales = _column_scales(sol)
-    mat = np.reshape(scales * sol, (rl * bs, n * rr)).T
-    u, s, vt = _svd(mat)
-    v = s[:, None] * vt
-
-    width = min(r_out + kick, n * rr, rl * bs) if solve else r_out
-    if solve and width > r_out:
-        sol_trunc = np.reshape((u[:, :r_out] @ v[:r_out]).T, (rl, bs, n, rr))
-        Axz = _mixed_product(zl, pr, A, sol_trunc, ineq,
-                             transpose_right_phi=False)
-        rhsxz = _project_rhs(zbl, b, br, ineq)
-        resxz = np.reshape(rhsxz - Axz, (rz * bs, n * rr)).T
-        uz, _ = _trunc_svd(resxz, width - r_out)
-        u_aug = np.concatenate([u[:, :r_out], uz], axis=1)
-        q, Rf = np.linalg.qr(u_aug, mode="reduced")
-        u_core = np.ascontiguousarray(q.T).reshape(width, n, rr)
-        v_new = (Rf[:, :r_out] @ v[:r_out]).T.reshape(rl, bs, width)
-    else:
-        u_core = np.ascontiguousarray(u[:, :width].T).reshape(width, n, rr)
-        v_new = v[:width].T.reshape(rl, bs, width)
-
-    x_km1_new = _es("rdc,cbR->rbdR", x_km1, v_new) / scales
-
-    if solve:
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        resz = np.reshape(rhsz - Az, (rz * bs, n * rz1)).T
-    else:
-        resz = np.reshape(z_k, (rz * bs, n * rz1)).T
-    uzz, vzz = _trunc_svd(resz, kick)
-    z_core = np.ascontiguousarray(uzz.T).reshape(-1, n, rz1)
-    vz_new = vzz.T.reshape(rz, bs, -1)
-    z_km1_new = _unit_fro(_es("rdc,cbR->rbdR", z_km1, vz_new) / scales)
-
-    pl_new, bl_new, zl_new, zbl_new = _phis_bck(
-        A, b, u_core, z_core, pr, br, zr, zbr, ineq
-    )
-    return (u_core, x_km1_new, z_core, z_km1_new, pl_new, bl_new, zl_new,
-            zbl_new, res_old, res_min, dx)
-
-
-def _bck_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
-                    ineq, solve):
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
-    else:
-        sol = x_k
-        z_new = z_k
-        res_old = res_min = dx = 0.0
-    return sol, z_new, res_old, res_min, dx
-
-
-def _fwd_split_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, x_kp1,
-                    z_k, z_kp1, ineq, r_out, kick, solve):
-    rl, bs, n, rr = x_k.shape
-    rz = z_k.shape[0]
-    rz1 = z_k.shape[-1]
-    r_out = min(r_out, rl * n, bs * rr)
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-    else:
-        sol = x_k
-        res_old = res_min = dx = 0.0
-
-    scales = _column_scales(sol)
-    mat = np.transpose(scales * sol, (0, 2, 1, 3)).reshape(rl * n, bs * rr)
-    u, s, vt = _svd(mat)
-    v = s[:, None] * vt
-    u3 = u.reshape(rl, n, -1)
-
-    width = min(r_out + kick, rl * n, bs * rr) if solve else r_out
-    if solve and width > r_out:
-        sol_trunc = _es(
-            "rbR,RdK->rdbK", u3[:, :, :r_out],
-            v[:r_out].reshape(r_out, bs, rr),
-        )
-        Axz = _mixed_product(pl, zr, A, sol_trunc, ineq,
-                             transpose_right_phi=True)
-        rhsxz = _project_rhs(bl, b, zbr, ineq)
-        resxz = np.transpose(rhsxz - Axz, (0, 2, 1, 3)).reshape(
-            rl * n, bs * rz1
-        )
-        uz, _ = _trunc_svd(resxz, width - r_out)
-        u_aug = np.concatenate(
-            [u3.reshape(rl * n, -1)[:, :r_out], uz], axis=1
-        )
-        q, Rf = np.linalg.qr(u_aug, mode="reduced")
-        u_core = q.reshape(rl, n, width)
-        v_new = _es(
-            "rR,RdK->rdK", Rf[:, :r_out], v[:r_out].reshape(r_out, bs, rr),
-        )
-    else:
-        u_core = u3[:, :, :width]
-        v_new = v[:width].reshape(width, bs, rr)
-
-    x_kp1_new = _es("rbR,RdK->rbdK", v_new, x_kp1) / scales
-
-    if solve:
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        resz = np.transpose(rhsz - Az, (0, 2, 1, 3)).reshape(
-            rz * n, bs * rz1
-        )
-    else:
-        resz = np.transpose(z_k, (0, 2, 1, 3)).reshape(rz * n, bs * rz1)
-    uzz, vzz = _trunc_svd(resz, kick)
-    z_core = uzz.reshape(rz, n, -1)
-    vz_new = vzz.reshape(-1, bs, rz1)
-    z_kp1_new = _unit_fro(_es("rbR,RdK->rbdK", vz_new, z_kp1) / scales)
-
-    pr_new, br_new, zr_new, zbr_new = _phis_fwd(
-        A, b, u_core, z_core, pl, bl, zl, zbl, ineq
-    )
-    return (u_core, x_kp1_new, z_core, z_kp1_new, pr_new, br_new, zr_new,
-            zbr_new, res_old, res_min, dx)
-
-
-def _fwd_write_step(pl, A, pr, bl, b, br, zl, zr, zbl, zbr, x_k, z_k,
-                    ineq, solve):
-    if solve:
-        sol, rhs, res_old, res_min, dx = _solve_local(
-            pl, A, pr, bl, b, br, x_k, ineq
-        )
-        Az = _z_product(zl, A, zr, sol, ineq)
-        rhsz = _project_rhs(zbl, b, zbr, ineq)
-        z_new = _unit_fro((rhsz - Az) / _column_scales(sol))
-    else:
-        sol = x_k
-        z_new = z_k
-        res_old = res_min = dx = 0.0
-    return sol, z_new, res_old, res_min, dx
+_STEPS = _fa.make_sweep_steps(
+    _ALG, _es, np, lambda *a: _solve_local(*a), _svd,
+    lambda a: np.linalg.qr(a, mode="reduced"), np.ascontiguousarray,
+    lambda ref: 0.0,
+)
+_trunc_svd = _STEPS.trunc_svd
+_bck_split_step = _STEPS.bck_split_step
+_bck_write_step = _STEPS.bck_write_step
+_fwd_split_step = _STEPS.fwd_split_step
+_fwd_write_step = _STEPS.fwd_write_step
 
 
 # ---------------------------------------------------------------------------
@@ -627,27 +332,8 @@ def host_sweep(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb,
 # Global residual (twin of fused.py::_fused_residual_norm, f64 accumulation)
 # ---------------------------------------------------------------------------
 
-_ROW_TERMS_EQ = (
-    (("00", 0, False), ("01", 1, False)),
-    (("01", 0, True), ("12", 2, False)),
-    (("21", 1, False), ("22", 2, False)),
-)
-_ROW_TERMS_INEQ = (
-    (("00", 0, False), ("01", 1, False)),
-    (("01", 0, True), ("12", 2, False), ("12", 3, False)),
-    (("21", 1, False), ("22", 2, False)),
-    (("31", 1, False), ("33", 3, False)),
-)
-
-
-def _virtual_term_cores(A, x_cols, key: str, col: int, transpose: bool):
-    out = []
-    for a_c, x_c in zip(A[key], x_cols[col]):
-        eq = "snmS,xnX->sxmSX" if transpose else "smnS,xnX->sxmSX"
-        v = _es(eq, a_c, x_c)
-        s, x, m, S, X = v.shape
-        out.append(v.reshape(s * x, m, S * X))
-    return out
+_ROW_TERMS_EQ = _fa.ROW_TERMS_EQ
+_ROW_TERMS_INEQ = _fa.ROW_TERMS_INEQ
 
 
 def _train_dot(tr1, tr2):
