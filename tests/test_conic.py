@@ -126,3 +126,67 @@ def test_graphm_builder_permutation_feasible():
     prob = conic.graphm_conic(_rand_sym(n * n + 1, rng), n)
     assert np.abs(prob.eq_residual(X)).max() < 1e-12
     assert np.abs(prob.ineq_violation(X)).max() < 1e-12
+
+
+def test_splitting_solver_matches_ipm_objective():
+    """Cross-solver numerical ground truth (VERDICT r4 item 10): the
+    native SCS-class splitting solver (conic.solve_splitting — the same
+    ADMM family as the reference's pip-scs axis,
+    psd_system/maxcut/maxcut_scs.py:44-110) must reproduce the TT-IPM's
+    maxcut d3 objective to 1e-3 relative.  The IPM solves the
+    sqrt(d)-normalised problem (models/maxcut.py:45-52), so its iterate
+    is diag-rescaled before comparing."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import yaml
+
+    from ttipm_tpu.ipm import tt_ipm
+    from ttipm_tpu.models.maxcut import create_problem, tt_obj_matrix
+    from ttipm_tpu.ops.tt import tt_matrix_to_matrix, tt_reshape
+
+    with open("configs/maxcut_3.yaml") as fh:
+        cfg = yaml.safe_load(fh)
+    seed = int(cfg["seeds"][0])
+    np.random.seed(seed)
+    obj, L, bias, lag_y = create_problem(3, 1)
+    X, _, _, Z, info = tt_ipm(
+        {"y": tt_reshape(lag_y, (4, 4))}, obj, L, bias,
+        max_iter=int(cfg["max_iter"]), warm_up=int(cfg["warm_up"]),
+        gap_tol=float(cfg["gap_tol"]), op_tol=float(cfg["op_tol"]),
+        abs_tol=float(cfg["abs_tol"]),
+        mals_restarts=int(cfg["mals_restarts"]),
+        max_refinement=int(cfg["max_refinement"]), aho_direction=False,
+        lambdaStar=float(cfg.get("lambdaStar", 1)),
+    )
+    Xd = np.asarray(tt_matrix_to_matrix(tt_reshape(X, (2, 2))))
+    Xd = Xd / np.mean(np.diag(Xd))  # undo the sqrt(d)/|b| normalisation
+
+    np.random.seed(seed)
+    C = np.asarray(
+        tt_matrix_to_matrix(tt_reshape(tt_obj_matrix(1, 3), (2, 2))),
+        dtype=float,
+    )
+    obj_ipm = float(np.sum(C * Xd))
+
+    out = conic.solve_splitting(conic.maxcut_conic(C), tol=1e-8)
+    assert out["primal_res"] < 1e-6
+    rel = abs(obj_ipm - out["objective"]) / max(abs(out["objective"]), 1.0)
+    assert rel < 1e-3, (obj_ipm, out["objective"])
+
+
+def test_splitting_solver_ineq_path():
+    """Inequality cone handling: corr-clust-style entrywise bounds are
+    active at the solution and satisfied to tolerance."""
+    rng = np.random.RandomState(11)
+    n = 6
+    A = rng.randn(n, n)
+    C = 0.5 * (A + A.T)
+    mask = np.zeros((n, n))
+    mask[0, 1] = mask[1, 0] = 1.0
+    prob = conic.corr_clust_conic(C, mask, beta=0.1)
+    out = conic.solve_splitting(prob, tol=1e-8, max_iter=50000)
+    X = out["x_matrix"]
+    assert np.abs(np.diag(X) - 1).max() < 1e-5
+    assert X[0, 1] >= -0.1 - 1e-5
+    assert np.linalg.eigvalsh(X).min() > -1e-7

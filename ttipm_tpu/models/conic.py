@@ -271,6 +271,108 @@ def sdpa_encode(prob: ConicSDP):
     return A, b, c, m_eq, m_ineq
 
 
+def solve_splitting(prob: ConicSDP, rho: float = 1.0,
+                    max_iter: int = 20000, tol: float = 1e-7,
+                    verbose: bool = False):
+    """Native first-order operator-splitting SDP solver (SCS-class ADMM).
+
+    The reference's cross-solver ground-truth axis runs the pip ``scs``
+    wheel (psd_system/maxcut/maxcut_scs.py:44-110); that wheel is not
+    installable in this image, so this is an in-tree solver of the same
+    algorithm family (alternating projections onto the affine constraint
+    set and the PSD cone with scaled dual updates — O'Donoghue et al.'s
+    splitting, minus the homogeneous self-dual embedding, which only
+    matters for infeasibility certificates).  Dense factorizations: meant
+    for the cross-check sizes (n = 2^d <= ~64), not production scale.
+
+    Solves  max <C, X>  s.t.  A_eq(X) = b,  A_in(X) >= h,  X PSD.
+    Returns dict(x_matrix, objective, iterations, primal_res, dual_res).
+    """
+    n = prob.n
+    nvar = n * (n + 1) // 2
+    m_eq, m_in = len(prob.eq_entries), len(prob.ineq_entries)
+
+    def rows(entries_list, sign=1.0):
+        R = np.zeros((len(entries_list), nvar))
+        for r, entries in enumerate(entries_list):
+            idx, val = svec_entries(entries, n)
+            R[r, idx] = sign * val
+        return R
+
+    A_eq = rows(prob.eq_entries)
+    A_in = rows(prob.ineq_entries)
+    b_eq = np.asarray(prob.eq_rhs, dtype=float)
+    h_in = np.asarray(prob.ineq_rhs, dtype=float)
+    c = -svec(prob.C)  # minimise -<C, X>
+
+    # KKT system of the (X, s) subproblem:
+    #   min c.x + rho/2 ||x - zx||^2 + rho/2 ||s - zs||^2
+    #   s.t. A_eq x = b_eq,  A_in x - s = h_in
+    # Eliminating through the stationarity rows gives a saddle system in
+    # the multipliers with Schur matrix G = [Aeq; Ain] [Aeq; Ain]' / rho
+    # (+ I/rho on the inequality block from the slack row).
+    import scipy.linalg as sla
+
+    A_all = np.vstack([A_eq, A_in]) if m_in else A_eq
+    G = (A_all @ A_all.T) / rho
+    if m_in:
+        G[m_eq:, m_eq:] += np.eye(m_in) / rho
+    G_f = sla.cho_factor(G + 1e-12 * np.eye(G.shape[0]))
+
+    x = np.zeros(nvar)
+    zx = np.zeros(nvar)    # PSD-cone copy of x
+    ux = np.zeros(nvar)
+    s = np.zeros(m_in)     # inequality slack (A_in x - h >= 0)
+    zs = np.zeros(m_in)    # nonneg copy of s
+    us = np.zeros(m_in)
+
+    rhs_const = np.concatenate([b_eq, h_in]) if m_in else b_eq
+    it = 0
+    pri = dual = np.inf
+    for it in range(1, max_iter + 1):
+        # --- (X, s) update: equality-constrained quadratic ---
+        qx = rho * (zx - ux) - c
+        qs = rho * (zs - us)
+        r_vec = rhs_const - np.concatenate(
+            [A_eq @ (qx / rho),
+             A_in @ (qx / rho) - qs / rho] if m_in else [A_eq @ (qx / rho)]
+        )
+        lam = sla.cho_solve(G_f, r_vec)
+        x = (qx + A_all.T @ lam) / rho
+        if m_in:
+            s = (qs - lam[m_eq:]) / rho
+        # --- cone projections ---
+        zx_old, zs_old = zx, zs
+        w, V = np.linalg.eigh(smat(x + ux, n))
+        zx = svec((V * np.maximum(w, 0.0)) @ V.T)
+        if m_in:
+            zs = np.maximum(s + us, 0.0)
+        # --- dual updates ---
+        ux = ux + x - zx
+        us = us + s - zs if m_in else us
+        pri = np.linalg.norm(x - zx) + (
+            np.linalg.norm(s - zs) if m_in else 0.0
+        )
+        dual = rho * (np.linalg.norm(zx - zx_old) + (
+            np.linalg.norm(zs - zs_old) if m_in else 0.0
+        ))
+        scale = max(1.0, np.linalg.norm(zx))
+        if pri / scale < tol and dual / scale < tol:
+            break
+        if verbose and it % 500 == 0:
+            print(f"[splitting] it {it}: pri {pri:.2e} dual {dual:.2e}",
+                  flush=True)
+
+    X = smat(zx, n)
+    return {
+        "x_matrix": X,
+        "objective": float(np.sum(prob.C * X)),
+        "iterations": it,
+        "primal_res": float(pri),
+        "dual_res": float(dual),
+    }
+
+
 def solve_sdpa(prob: ConicSDP, option=None):
     """Solve with sdpap (optional dependency).  Parity:
     /root/reference/psd_system/direct_conic.py:202-271."""

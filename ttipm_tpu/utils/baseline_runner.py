@@ -36,13 +36,13 @@ import yaml
 
 from ttipm_tpu.models import conic
 
-SOLVERS = ("scs", "sdpa", "cgal", "scgal", "manopt")
+SOLVERS = ("scs", "sdpa", "splitting", "cgal", "scgal", "manopt")
 
 _SUPPORTED = {
     "maxcut": set(SOLVERS),
-    "corr_clust": {"scs", "sdpa"},
-    "max_stable_set": {"scs", "sdpa", "cgal", "scgal"},
-    "graphm": {"scs", "sdpa"},
+    "corr_clust": {"scs", "sdpa", "splitting"},
+    "max_stable_set": {"scs", "sdpa", "splitting", "cgal", "scgal"},
+    "graphm": {"scs", "sdpa", "splitting"},
 }
 
 
@@ -122,6 +122,10 @@ def solve_baseline(solver: str, problem: str, dense: Dict, config: Dict,
     prob: conic.ConicSDP = dense["conic"]
     if solver == "scs":
         sol = conic.solve_scs(prob, eps=1e-5 / dim, verbose=verbose)
+    elif solver == "splitting":
+        # native in-image SCS-class ADMM (conic.solve_splitting): the
+        # cross-solver ground-truth axis that needs no pip wheel
+        return conic.solve_splitting(prob, tol=1e-7, verbose=verbose)
     elif solver == "sdpa":
         sol = conic.solve_sdpa(prob)
     elif solver in ("cgal", "scgal"):
