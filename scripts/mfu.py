@@ -40,6 +40,9 @@ def main() -> int:
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     dim = int(pos[0]) if pos else 5
     R = int(pos[1]) if len(pos) > 1 else 8
+    batch = 1
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
     reps = 20
 
     import jax
@@ -89,40 +92,61 @@ def main() -> int:
 
     from ttipm_tpu.ops import jacobi as _jacobi
 
+    # --batch N: the production seeds-batch configuration (the vmapped
+    # sweep program of parallel/fused_mesh.py, one dispatch for N
+    # instances).  At small R the single-instance sweep is latency-bound
+    # (r4: 0.6% MFU at R=8); the batch axis is how production fills the
+    # MXU at those ranks — the multi-seed protocol runs N independent
+    # seeds per dim (BASELINE.md grid).
+    if batch > 1:
+        from ttipm_tpu.parallel import fused_mesh as FM
+
+        stack = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * batch), t)
+        args0 = jax.device_put(stack(args0), dev)
+        sweep_fn = FM._sweep_program_batch
+    else:
+        sweep_fn = jax.jit(
+            F._sweep_program,
+            static_argnames=("ineq", "caps", "kick", "solve", "direction"),
+        )
+
     results = []
     with _jacobi.forced(True):
         # ---- warmup sweep (builds phis; output is the steady-state shape)
         lowered = jax.jit(
             F._sweep_program,
             static_argnames=("ineq", "caps", "kick", "solve", "direction"),
-        ).lower(*args0, ineq=False, caps=tuple(caps_bck), kick=2,
+        ).lower(*(jax.tree_util.tree_map(lambda x: x[0], args0) if batch > 1
+                  else args0),
+                ineq=False, caps=tuple(caps_bck), kick=2,
                 solve=False, direction=1)
         compiled = lowered.compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops_warm = float(ca.get("flops", 0.0))
 
-        st = F._sweep_program(
+        st = sweep_fn(
             *args0, ineq=False, caps=tuple(caps_bck), kick=2, solve=False,
             direction=1,
         )
         st_solve_args = st[:6]
+        A_run = args0[0]
+        b_run = args0[1]
 
         # ---- solving sweep (the hot program)
-        lowered_s = jax.jit(
-            F._sweep_program,
-            static_argnames=("ineq", "caps", "kick", "solve", "direction"),
-        ).lower(A, b, *st_solve_args, ineq=False, caps=tuple(caps_fwd),
-                kick=2, solve=True, direction=-1)
+        lowered_s = sweep_fn.lower(
+            A_run, b_run, *st_solve_args, ineq=False, caps=tuple(caps_fwd),
+            kick=2, solve=True, direction=-1)
         compiled_s = lowered_s.compile()
         ca_s = compiled_s.cost_analysis()
         ca_s = ca_s[0] if isinstance(ca_s, list) else ca_s
         flops_solve = float(ca_s.get("flops", 0.0))
 
         def run_solve():
-            out = F._sweep_program(
-                A, b, *st_solve_args, ineq=False, caps=tuple(caps_fwd),
-                kick=2, solve=True, direction=-1,
+            out = sweep_fn(
+                A_run, b_run, *st_solve_args, ineq=False,
+                caps=tuple(caps_fwd), kick=2, solve=True, direction=-1,
             )
             jax.block_until_ready(out[6])
             return out
@@ -149,8 +173,9 @@ def main() -> int:
     mfu_bf16 = flops_solve / (t_device * V5E_PEAK_BF16)
     mfu_f32 = flops_solve / (t_device * V5E_PEAK_F32_HIGHEST)
     rec = {
-        "program": "fused_sweep_solve",
-        "dim": dim, "R": R, "dtype": "float32-highest",
+        "program": ("fused_sweep_solve_batch" if batch > 1
+                    else "fused_sweep_solve"),
+        "dim": dim, "R": R, "batch": batch, "dtype": "float32-highest",
         "flops": flops_solve,
         "flops_warmup_sweep": flops_warm,
         "wall_per_dispatch_s": round(t_total, 6),

@@ -162,9 +162,13 @@ def test_fused_refinement_reaches_target():
         refine_target=target,
     )
     rn_ref = _fused_residual_norm(A, b, x_ref, ineq=False)
-    # each round multiplies the residual by ~termination_tol until the
-    # fixed-rank floor; require at least a 20x true-residual improvement
-    assert rn_ref < 0.05 * rn_loose
+    # refinement must reach the requested absolute target and never be
+    # worse than the unrefined solve.  (The old 20x-improvement ratio
+    # became vacuous in round 5: the ladder now keeps escalating past
+    # lenient solutions, so the "loose" solve already lands near the
+    # fixed-rank floor.)
+    assert rn_ref <= max(target, rn_loose)
+    assert rn_ref < 1e-6 * rhs.norm
 
 
 def test_fused_device_loop_matches_host_loop():

@@ -965,7 +965,12 @@ def tt_restarted_block_amen_fused(
     # reduction (the reference's any-improvement leniency let barely-
     # improved directions through on graphm — rel res 7e-3 solves produced
     # step sizes ~1e-2 and stalled the IPM; the caller's ragged fallback is
-    # the better deal).
+    # the better deal).  Round-5: a LENIENT solution no longer short-
+    # circuits the ladder — maxcut d10 hard seeds showed first-rung
+    # rel-res ~1e-2 directions being accepted for 10+ IPM iterations with
+    # step sizes collapsing to 3e-4 (results/grid_r5/maxcut_10_s1.log);
+    # the ladder now keeps escalating rank for a strict solve and only
+    # settles for the best lenient one once escalation stops paying.
     def accepted(rn):
         return rn < termination_tol * rhs_norm0 or rn < 0.1 * rhs_norm0
 
@@ -1043,8 +1048,9 @@ def tt_restarted_block_amen_fused(
     if res < termination_tol:
         return refined(x_cores, res)
     rn = _fused_residual_norm(A, b, x_cores, ineq, host=use_host)
-    if accepted(rn):
+    if rn < termination_tol * rhs_norm0:
         return refined(x_cores, res)
+    best = (rn, x_cores, res) if (np.isfinite(rn) and accepted(rn)) else None
 
     for _ in range(1, num_restarts):
         # Geometric growth: the reference escalates rank_restriction by +4
@@ -1053,22 +1059,36 @@ def tt_restarted_block_amen_fused(
         # restart, so doubling is needed to reach solution ranks within the
         # restart budget.
         R_next = min(max(R + 4, 2 * R), r_cap)
-        if rn > 0.9 * rhs_norm0 and R >= 16:
+        if (rn > 0.9 * rhs_norm0 and R >= 16) or R_next <= R:
             # Basis-limited regime: essentially no progress at an already-
             # substantial rank (graphm KKTs need solution ranks ~52, past
-            # the dense-local-solve ceiling).  Growing further wastes the
-            # ladder; hand over to the rank-adaptive fallback now.
+            # the dense-local-solve ceiling), or the ladder hit its cap.
+            # Growing further wastes the ladder.
             break
         R = R_next
-        x_cores, res = tt_block_amen_fused(
+        x_new, res_new = tt_block_amen_fused(
             block_A, block_b, termination_tol, R, ineq, eps=eps, nswp=inner_m,
             x0=x_cores, kick_rank=4, verbose=verbose,
             prepped=(A, b, use_host),
         )
-        rn = _fused_residual_norm(A, b, x_cores, ineq, host=use_host)
-        if accepted(rn):
-            return refined(x_cores, res)
+        rn_new = _fused_residual_norm(A, b, x_new, ineq, host=use_host)
+        if rn_new < termination_tol * rhs_norm0:
+            return refined(x_new, res_new)
+        if np.isfinite(rn_new) and accepted(rn_new) and (
+                best is None or rn_new < best[0]):
+            best = (rn_new, x_new, res_new)
+        if np.isfinite(rn_new) and rn_new < rn:
+            x_cores, res = x_new, res_new
+            progress = rn_new < 0.9 * rn
+            rn = rn_new
+        else:
+            progress = False
+        if not progress and best is not None:
+            # escalation stopped paying; take the best lenient direction
+            break
 
+    if best is not None:
+        return refined(best[1], best[2])
     raise AmenRestartsExhausted(
         f"restart budget exhausted, relative error {rn / rhs_norm0:.3e}; "
         "consider raising the rank ceiling"
