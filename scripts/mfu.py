@@ -68,8 +68,10 @@ def main() -> int:
     from ttipm_tpu.solvers import fused as F
 
     d = dim
-    A = F._prep_operator(lhs, d, False)
-    b = F._prep_rhs(rhs, d, False)
+    # pad=True: the jitted/vmapped device engine consumes the padded
+    # uniform-rank prep (the host default is ragged numpy)
+    A = F._prep_operator(lhs, d, False, pad=True)
+    b = F._prep_rhs(rhs, d, False, pad=True)
     # jitted-engine arrays (prep may have produced numpy under host mode)
     A = {k: [jnp.asarray(c, cfg.dtype()) for c in v] for k, v in A.items()}
     b = [[jnp.asarray(c, cfg.dtype()) for c in row] for row in b]
@@ -100,6 +102,12 @@ def main() -> int:
     # seeds per dim (BASELINE.md grid).
     if batch > 1:
         from ttipm_tpu.parallel import fused_mesh as FM
+        from ttipm_tpu.ops.kernels import set_panel_qr
+
+        # the vmapped program is pallas-free by design (see kernels.py);
+        # disable the panel kernel globally for this measurement so the
+        # single-instance warmup lower can't mint Mosaic modules either
+        set_panel_qr(False)
 
         stack = lambda t: jax.tree_util.tree_map(
             lambda x: jnp.stack([x] * batch), t)
@@ -143,18 +151,27 @@ def main() -> int:
         ca_s = ca_s[0] if isinstance(ca_s, list) else ca_s
         flops_solve = float(ca_s.get("flops", 0.0))
 
-        def run_solve():
+        def run_solve(st_args, caps, direction):
             out = sweep_fn(
-                A_run, b_run, *st_solve_args, ineq=False,
-                caps=tuple(caps_fwd), kick=2, solve=True, direction=-1,
+                A_run, b_run, *st_args, ineq=False,
+                caps=tuple(caps), kick=2, solve=True, direction=direction,
             )
             jax.block_until_ready(out[6])
             return out
 
-        run_solve()  # compile+load
+        # compile+load both directions (the state layout alternates)
+        out = run_solve(st_solve_args, caps_fwd, -1)
+        out = run_solve(out[:6], caps_bck, +1)
+        # Chain each rep's output state into the next input: repeated
+        # dispatches of IDENTICAL args measured 790 TFLOP/s (4x physical
+        # peak) through the tunnel — some layer short-circuits duplicate
+        # executions.  Chaining forces every rep to execute for real.
         t0 = time.time()
-        for _ in range(reps):
-            run_solve()
+        for i in range(reps):
+            if i % 2 == 0:
+                out = run_solve(out[:6], caps_fwd, -1)
+            else:
+                out = run_solve(out[:6], caps_bck, +1)
         t_total = (time.time() - t0) / reps
 
         # ---- dispatch overhead: a trivial program timed the same way

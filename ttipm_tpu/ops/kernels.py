@@ -234,6 +234,7 @@ def qr_reduced(a, interpret: bool = False):
 
 
 _PANEL_QR = False
+_PANEL_QR_SUSPENDED = 0
 
 
 def set_panel_qr(flag: bool) -> None:
@@ -242,8 +243,26 @@ def set_panel_qr(flag: bool) -> None:
     _PANEL_QR = bool(flag)
 
 
+class panel_qr_disabled:
+    """Trace-time suspension of the Pallas QR dispatch.  The vmapped
+    (seeds-batched) sweep programs cannot use the panel kernel — Mosaic
+    fails to legalize the batched pallas_call ('func.return' legalization
+    error, measured on v5e) — so the batch drivers trace under this
+    context and take the XLA QR instead."""
+
+    def __enter__(self):
+        global _PANEL_QR_SUSPENDED
+        _PANEL_QR_SUSPENDED += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _PANEL_QR_SUSPENDED
+        _PANEL_QR_SUSPENDED -= 1
+        return False
+
+
 def _panel_qr_enabled() -> bool:
-    return _PANEL_QR
+    return _PANEL_QR and not _PANEL_QR_SUSPENDED
 
 
 # ---------------------------------------------------------------------------

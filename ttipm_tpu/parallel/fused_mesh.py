@@ -57,11 +57,16 @@ def _unstack_tree(tree, i):
 def _sweep_program_batch(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb,
                          ineq: bool, caps: tuple, kick: int, solve: bool,
                          direction: int):
+    from ttipm_tpu.ops.kernels import panel_qr_disabled
+
     fn = partial(
         _fused._sweep_program.__wrapped__,  # undecorated: vmap traces it
         ineq=ineq, caps=caps, kick=kick, solve=solve, direction=direction,
     )
-    return jax.vmap(fn)(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb)
+    # Pallas panel QR does not legalize under vmap (see kernels.py);
+    # suspend it for this trace (no-op once compiled).
+    with panel_qr_disabled():
+        return jax.vmap(fn)(A, b, x_cores, z_cores, XAX, Xb, ZAX, Zb)
 
 
 def _pad_batch(items: list, mesh: Optional[Mesh]) -> tuple[list, int]:
