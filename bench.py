@@ -243,7 +243,7 @@ def main() -> int:
                 env = dict(os.environ)
                 env["BENCH_PLATFORM"] = "offload-f32"
                 env["BENCH_GRID"] = os.environ.get(
-                    "BENCH_CHIP_GRID", "3:1,4:1")
+                    "BENCH_CHIP_GRID", "3:1")
                 env["BENCH_BUDGET_S"] = str(int(chip_budget))
                 env["BENCH_CHIP"] = "0"
                 env["TTIPM_NO_REEXEC"] = "1"
